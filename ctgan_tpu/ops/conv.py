@@ -1,0 +1,273 @@
+"""Convolution ops (rebuild of ``tflib/ops/conv2d.py``, ``deconv2d.py``,
+``conv1d.py``, ``separable_conv2d.py``).
+
+Layout: **NHWC activations, HWIO filters** — the TPU-native layout (XLA tiles
+channels-last convs directly onto the MXU; the reference's NCHW was a cuDNN
+preference, see ``tflib/ops/conv2d.py:106-112``).  Models convert from the
+flat/NCHW external interface once at the boundary.
+
+All convs use SAME padding and the reference's fan-based uniform init
+(``ops.init``).  Optional features mirrored from the reference: autoregressive
+masks 'a'/'b', weight-norm reparameterization, stride, gain, bias toggles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import store
+from ..core.precision import compute_dtype
+from .init import conv_filter_stdev, uniform_stdev
+
+__all__ = ["conv2d", "deconv2d", "conv1d", "separable_conv2d"]
+
+
+def _ar_mask(filter_size: int, input_dim: int, output_dim: int, mask_type: str, n_channels: int) -> np.ndarray:
+    """PixelCNN-style autoregressive mask (tflib/ops/conv2d.py:29-52)."""
+    mask = np.ones((filter_size, filter_size, input_dim, output_dim), dtype="float32")
+    center = filter_size // 2
+    mask[center + 1 :, :, :, :] = 0.0
+    mask[center, center + 1 :, :, :] = 0.0
+    for i in range(n_channels):
+        for j in range(n_channels):
+            if (mask_type == "a" and i >= j) or (mask_type == "b" and i > j):
+                mask[center, center, i::n_channels, j::n_channels] = 0.0
+    return mask
+
+
+def _weightnormed(name: str, filters: jax.Array, axis_reduce) -> jax.Array:
+    f_init = filters
+
+    def make_g():
+        return np.sqrt(
+            np.sum(np.square(np.asarray(f_init)), axis=axis_reduce)
+        ).astype("float32")
+
+    target_norms = store.param(name + ".g", make_g)
+    norms = jnp.sqrt(jnp.sum(jnp.square(filters), axis=axis_reduce))
+    return filters * (target_norms / norms)
+
+
+def conv2d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    he_init: bool = True,
+    mask_type: tuple | None = None,
+    stride: int = 1,
+    weightnorm: bool = False,
+    biases: bool = True,
+    gain: float = 1.0,
+) -> jax.Array:
+    """2-D SAME conv on NHWC input (tflib/ops/conv2d.py:20-123)."""
+    ctx = store.current_context()
+    masked = mask_type is not None
+    stdev = conv_filter_stdev(
+        input_dim, output_dim, filter_size, stride, he_init, masked=masked
+    )
+
+    def make_filters():
+        f = uniform_stdev(
+            ctx.rng, stdev, (filter_size, filter_size, input_dim, output_dim)
+        )
+        return f * gain
+
+    filters = store.param(name + ".Filters", make_filters)
+    if weightnorm:
+        filters = _weightnormed(name, filters, (0, 1, 2))
+    if masked:
+        mtype, n_ch = mask_type
+        filters = filters * jnp.asarray(
+            _ar_mask(filter_size, input_dim, output_dim, mtype, n_ch)
+        )
+
+    dt = compute_dtype()
+    result = jax.lax.conv_general_dilated(
+        inputs.astype(dt),
+        filters.astype(dt),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        result = result + b
+    return result
+
+
+def deconv2d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    he_init: bool = True,
+    weightnorm: bool = False,
+    biases: bool = True,
+    gain: float = 1.0,
+    stride: int = 2,
+) -> jax.Array:
+    """Stride-2 transposed conv, SAME, 2x upsampling on NHWC input.
+
+    Matches ``tf.nn.conv2d_transpose`` semantics (tflib/ops/deconv2d.py:89-112):
+    output spatial dims are exactly ``stride *`` input dims.  Filter layout is
+    HWOI (height, width, out_channels, in_channels) like TF's transposed-conv
+    filters; ``transpose_kernel=True`` makes ``lax.conv_transpose`` compute the
+    true gradient-of-conv, which is what TF does.
+    """
+    ctx = store.current_context()
+    stdev = conv_filter_stdev(
+        input_dim, output_dim, filter_size, stride, he_init, transposed=True
+    )
+
+    def make_filters():
+        f = uniform_stdev(
+            ctx.rng, stdev, (filter_size, filter_size, output_dim, input_dim)
+        )
+        return f * gain
+
+    filters = store.param(name + ".Filters", make_filters)
+    if weightnorm:
+        # per-output-channel norms: reduce over (H, W, I) = axes (0, 1, 3)
+        filters = _weightnormed(name, filters, (0, 1, 3))
+
+    dt = compute_dtype()
+    result = jax.lax.conv_transpose(
+        inputs.astype(dt),
+        filters.astype(dt),
+        strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+    )
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        result = result + b
+    return result
+
+
+def conv1d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    he_init: bool = True,
+    mask_type: tuple | None = None,
+    stride: int = 1,
+    weightnorm: bool = False,
+    biases: bool = True,
+    gain: float = 1.0,
+) -> jax.Array:
+    """1-D SAME conv on NWC input (tflib/ops/conv1d.py:11-108)."""
+    ctx = store.current_context()
+    masked = mask_type is not None
+    fan_in = input_dim * filter_size
+    fan_out = output_dim * filter_size / stride
+    if masked:
+        fan_in /= 2.0
+        fan_out /= 2.0
+    stdev = float(np.sqrt((4.0 if he_init else 2.0) / (fan_in + fan_out)))
+
+    def make_filters():
+        return uniform_stdev(ctx.rng, stdev, (filter_size, input_dim, output_dim)) * gain
+
+    filters = store.param(name + ".Filters", make_filters)
+    if weightnorm:
+        f_init = filters
+
+        def make_g():
+            return np.sqrt(
+                np.sum(np.square(np.asarray(f_init)), axis=(0, 1))
+            ).astype("float32")
+
+        target_norms = store.param(name + ".g", make_g)
+        norms = jnp.sqrt(jnp.sum(jnp.square(filters), axis=(0, 1)))
+        filters = filters * (target_norms / norms)
+    if masked:
+        mtype, n_ch = mask_type
+        mask = np.ones((filter_size, input_dim, output_dim), dtype="float32")
+        center = filter_size // 2
+        mask[center + 1 :, :, :] = 0.0
+        for i in range(n_ch):
+            for j in range(n_ch):
+                if (mtype == "a" and i >= j) or (mtype == "b" and i > j):
+                    mask[center, i::n_ch, j::n_ch] = 0.0
+        filters = filters * jnp.asarray(mask)
+
+    dt = compute_dtype()
+    result = jax.lax.conv_general_dilated(
+        inputs.astype(dt),
+        filters.astype(dt),
+        window_strides=(stride,),
+        padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        result = result + b
+    return result
+
+
+def separable_conv2d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    depth_multiplier: int = 1,
+    stride: int = 1,
+    biases: bool = True,
+) -> jax.Array:
+    """Depthwise-separable conv (LSUN fork ``ops/separable_conv2d.py``)."""
+    ctx = store.current_context()
+    dw_stdev = conv_filter_stdev(input_dim, input_dim * depth_multiplier, filter_size, stride, True)
+    pw_stdev = conv_filter_stdev(input_dim * depth_multiplier, output_dim, 1, 1, True)
+
+    depthwise = store.param(
+        name + ".DepthwiseFilters",
+        lambda: uniform_stdev(
+            ctx.rng, dw_stdev, (filter_size, filter_size, input_dim, depth_multiplier)
+        ),
+    )
+    pointwise = store.param(
+        name + ".PointwiseFilters",
+        lambda: uniform_stdev(
+            ctx.rng, pw_stdev, (1, 1, input_dim * depth_multiplier, output_dim)
+        ),
+    )
+    dt = compute_dtype()
+    # depthwise: feature_group_count = input_dim, filters reshaped HW1(I*M)
+    dw = depthwise.reshape(filter_size, filter_size, 1, input_dim * depth_multiplier)
+    out = jax.lax.conv_general_dilated(
+        inputs.astype(dt),
+        dw.astype(dt),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=input_dim,
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.lax.conv_general_dilated(
+        out.astype(dt),
+        pointwise.astype(dt),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        out = out + b
+    return out

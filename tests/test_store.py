@@ -1,0 +1,99 @@
+"""Param store semantics: create-or-fetch sharing, name queries, aliases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctgan_tpu.core import (
+    alias_params,
+    apply_context,
+    init_context,
+    name_scope,
+    param,
+    param_count,
+    params_with_name,
+    rng_context,
+    split_params,
+)
+from ctgan_tpu.ops import dropout, linear
+
+
+def test_create_or_fetch_shares_weights():
+    """Two calls with the same name must return the same array — the
+    mechanism behind the reference's 4-pass shared-weight discriminator."""
+    with init_context(seed=0) as ctx:
+        x = jnp.ones((2, 4))
+        y1 = linear("D.Out", 4, 3, x)
+        y2 = linear("D.Out", 4, 3, x)
+        assert len(ctx.params) == 2  # W and b created once
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_apply_context_reads_only():
+    with init_context(seed=0) as ctx:
+        linear("L", 4, 3, jnp.ones((1, 4)))
+    params = ctx.params
+    with apply_context(params):
+        out = linear("L", 4, 3, jnp.ones((1, 4)))
+    assert out.shape == (1, 3)
+    with apply_context(params):
+        with pytest.raises(KeyError):
+            linear("Missing", 4, 3, jnp.ones((1, 4)))
+
+
+def test_params_with_name_and_split():
+    with init_context(seed=0) as ctx:
+        linear("Generator.In", 4, 4, jnp.ones((1, 4)))
+        linear("Discriminator.Out", 4, 1, jnp.ones((1, 4)))
+    g = params_with_name(ctx.params, "Generator")
+    d = params_with_name(ctx.params, "Discriminator")
+    assert set(g) == {"Generator.In.W", "Generator.In.b"}
+    assert set(d) == {"Discriminator.Out.W", "Discriminator.Out.b"}
+    g2, d2, rest = split_params(ctx.params, "Generator", "Discriminator")
+    assert g2 == g and d2 == d and rest == {}
+    assert param_count(g) == 4 * 4 + 4
+
+
+def test_alias_params_redirects():
+    with init_context(seed=0) as ctx:
+        w = param("A.W", lambda: np.ones((2, 2), "float32"))
+        alias_params({"B.W": "A.W"})
+        w2 = param("B.W", lambda: np.zeros((2, 2), "float32"))
+    assert w is w2
+    assert "B.W" not in ctx.params
+
+
+def test_name_scope_prefixes():
+    with init_context(seed=0) as ctx:
+        with name_scope("Gen"):
+            linear("Input", 2, 2, jnp.ones((1, 2)))
+    assert "Gen.Input.W" in ctx.params
+
+
+def test_works_under_jit_and_grad():
+    with init_context(seed=0) as ctx:
+        linear("L", 4, 1, jnp.ones((1, 4)))
+    params = ctx.params
+
+    def loss(p, x):
+        with apply_context(p):
+            return jnp.mean(linear("L", 4, 1, x) ** 2)
+
+    g = jax.jit(jax.grad(loss))(params, jnp.ones((3, 4)))
+    assert set(g) == set(params)
+    assert np.isfinite(np.asarray(g["L.W"])).all()
+
+
+def test_rng_streams_distinct_per_call():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((4, 1000))
+    with rng_context({"dropout": key}):
+        a = dropout(x, 0.5)
+        b = dropout(x, 0.5)
+    # Two dropout calls in one trace must use different masks (CT pair).
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    # Replaying the trace gives identical draws (determinism).
+    with rng_context({"dropout": key}):
+        a2 = dropout(x, 0.5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
