@@ -51,6 +51,8 @@ def batchnorm(
     update_stats: bool = False,
     axis_name: str | None = None,
     per_batch_axes: tuple | None = None,
+    scale: bool = True,
+    center: bool = True,
 ) -> jax.Array:
     """Batch normalization over all axes except the last (channel).
 
@@ -78,8 +80,18 @@ def batchnorm(
 
     c = x.shape[-1]
     reduce_axes = tuple(range(x.ndim - 1))
-    offset = store.param(name + ".offset", lambda: np.zeros(c, dtype="float32"))
-    scale = store.param(name + ".scale", lambda: np.ones(c, dtype="float32"))
+    # ``scale=False`` reproduces the Theano ``batch_norm(..., g=None)`` wrap
+    # (CT_MNIST.py:34-35): offset only, no learned gain.
+    offset = (
+        store.param(name + ".offset", lambda: np.zeros(c, dtype="float32"))
+        if center
+        else jnp.zeros(c, jnp.float32)
+    )
+    scale = (
+        store.param(name + ".scale", lambda: np.ones(c, dtype="float32"))
+        if scale
+        else jnp.ones(c, jnp.float32)
+    )
 
     needs_stats = mode in ("moving", "blend") or update_stats
     if needs_stats:

@@ -1,0 +1,226 @@
+"""CT-GAN trainer: one fused pjit step for the full 5:1 critic cycle.
+
+Rebuild of the reference's session loops (CT_gan_cifar.py:186-236,
+CT_gan_cifar_resnet.py:393-434), redesigned for TPU:
+
+* The whole iteration — one generator update followed by ``critic_iters``
+  discriminator updates over a stacked ``[K, B, D]`` batch — is **one traced
+  XLA program** (``lax.scan`` over critic sub-batches).  The reference paid a
+  ``sess.run`` + ``feed_dict`` host round-trip per sub-step; here the host
+  only feeds one stacked batch per generator iteration.
+* All four shared-weight discriminator passes (clean, two CT-perturbed, GP
+  interpolates with its double backward) live in the same program and fuse;
+  no A/B device split (SURVEY §2e).
+* Under a mesh, the batch axis is sharded over ``data``; XLA inserts the
+  gradient all-reduces.  ``donate`` on the state keeps params in place.
+
+Modes: ``wgan-CT`` (CT+GP, Adam), ``wgan-gp`` (GP only), ``wgan``
+(weight clipping + RMSProp), ``dcgan`` (sigmoid CE), ``lsgan``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import apply_context, rng_context
+from ..core import rng as rng_mod
+from ..losses.gan import (
+    consistency_term,
+    dcgan_losses,
+    gradient_penalty,
+    lsgan_losses,
+    wgan_losses,
+)
+from . import optim, schedules
+
+__all__ = ["GanConfig", "GANState", "make_gan_trainer"]
+
+
+@dataclass(frozen=True)
+class GanConfig:
+    mode: str = "wgan-CT"
+    batch_size: int = 64
+    critic_iters: int = 5
+    lambda_gp: float = 10.0        # LAMBDA (CT_gan_cifar.py:39)
+    lambda_ct: float = 2.0         # LAMBDA_2 (CT_gan_cifar.py:35)
+    factor_m: float = 0.0          # Factor_M (CT_gan_cifar.py:36)
+    lr: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.9
+    iters: int = 50000
+    lr_decay: bool = False         # linear decay (resnet trainer)
+    clip_value: float = 0.01       # wgan weight clip (CT_gan_mnist.py:141)
+    gen_bs_multiple: int = 1       # GEN_BS_MULTIPLE (resnet trainer)
+
+
+class GANState(NamedTuple):
+    gen_params: dict
+    disc_params: dict
+    gen_opt: dict
+    disc_opt: dict
+    step: jax.Array
+
+
+def _make_optimizers(cfg: GanConfig):
+    if cfg.mode in ("wgan-CT", "wgan-ct", "wgan-gp"):
+        lr = schedules.linear_decay(cfg.lr, cfg.iters) if cfg.lr_decay else cfg.lr
+        mk = lambda: optim.adam(lr, cfg.beta1, cfg.beta2)
+        return mk(), mk()
+    if cfg.mode == "wgan":
+        return optim.rmsprop(5e-5), optim.rmsprop(5e-5)
+    if cfg.mode == "dcgan":
+        return optim.adam(2e-4, 0.5), optim.adam(2e-4, 0.5)
+    if cfg.mode == "lsgan":
+        return optim.rmsprop(1e-4), optim.rmsprop(1e-4)
+    raise ValueError(f"unknown mode {cfg.mode!r}")
+
+
+def make_gan_trainer(
+    gen_fn: Callable[..., jax.Array],
+    disc_fn: Callable[..., tuple[jax.Array, jax.Array]],
+    cfg: GanConfig,
+):
+    """Build (init_state, step_fn, eval_fns) for an unconditional CT-GAN.
+
+    ``gen_fn(n_samples)`` must produce flat fake images using the 'noise' RNG
+    stream; ``disc_fn(x)`` must return ``(logits, features)`` drawing dropout
+    from the 'dropout' stream.  Both read params from the ambient context.
+    """
+    gen_optimizer, disc_optimizer = _make_optimizers(cfg)
+    is_ct = cfg.mode in ("wgan-CT", "wgan-ct")
+    is_gp = is_ct or cfg.mode == "wgan-gp"
+
+    # ---------------------------------------------------------- losses
+
+    def disc_loss(disc_params, gen_params, real, key):
+        with rng_context({"default": key}):
+            with apply_context({**gen_params, **disc_params}):
+                fake = gen_fn(real.shape[0])
+                d_real, f_real = disc_fn(real)
+                metrics = {}
+                if cfg.mode in ("dcgan", "lsgan"):
+                    d_fake, _ = disc_fn(fake)
+                    loss_fn = dcgan_losses if cfg.mode == "dcgan" else lsgan_losses
+                    _, cost = loss_fn(d_real, d_fake)
+                    metrics["disc_cost"] = cost
+                    return cost, metrics
+                # wgan family
+                d_fake, _ = disc_fn(fake)
+                _, cost = wgan_losses(d_real, d_fake)
+                metrics["wgan"] = cost
+                if is_ct:
+                    d_real_2, f_real_2 = disc_fn(real)
+                    ct = consistency_term(
+                        d_real, d_real_2, f_real, f_real_2,
+                        lambda_2=cfg.lambda_ct, factor_m=cfg.factor_m,
+                    )
+                    cost = cost + ct
+                    metrics["ct"] = ct
+                if is_gp:
+                    gp, slopes = gradient_penalty(
+                        disc_fn, real, fake, rng_mod.next_key("gp")
+                    )
+                    cost = cost + cfg.lambda_gp * gp
+                    metrics["gp"] = gp
+                metrics["disc_cost"] = cost
+                return cost, metrics
+
+    def gen_loss(gen_params, disc_params, key):
+        with rng_context({"default": key}):
+            with apply_context({**gen_params, **disc_params}):
+                n = cfg.batch_size * cfg.gen_bs_multiple
+                fake = gen_fn(n)
+                d_fake, _ = disc_fn(fake)
+                if cfg.mode == "dcgan":
+                    cost, _ = dcgan_losses(jnp.zeros(1), d_fake)
+                elif cfg.mode == "lsgan":
+                    cost, _ = lsgan_losses(jnp.zeros(1), d_fake)
+                else:
+                    cost = -jnp.mean(d_fake)
+                return cost
+
+    disc_grad = jax.value_and_grad(disc_loss, has_aux=True)
+    gen_grad = jax.value_and_grad(gen_loss)
+
+    # ------------------------------------------------------------ step
+
+    def step_fn(state: GANState, real_stack: jax.Array, base_key: jax.Array):
+        """One generator iteration: G update (skipped at step 0, matching
+        'if iteration > 0' CT_gan_cifar.py:192) + critic_iters D updates.
+
+        ``real_stack``: [critic_iters, batch, features] real batches.
+        """
+        key = jax.random.fold_in(base_key, state.step)
+
+        # --- generator update
+        (g_cost, g_grads) = gen_grad(
+            state.gen_params, state.disc_params, jax.random.fold_in(key, 1000)
+        )
+        new_gen_params, new_gen_opt = gen_optimizer.update(
+            g_grads, state.gen_opt, state.gen_params, state.step
+        )
+        do_gen = (state.step > 0).astype(jnp.float32)
+        gen_params = jax.tree.map(
+            lambda new, old: do_gen * new + (1.0 - do_gen) * old,
+            new_gen_params, state.gen_params,
+        )
+        gen_opt = jax.tree.map(
+            lambda new, old: do_gen * new + (1.0 - do_gen) * old,
+            new_gen_opt, state.gen_opt,
+        )
+
+        # --- critic updates (scan over the stacked sub-batches)
+        def critic_body(carry, inp):
+            disc_params, disc_opt = carry
+            i, real = inp
+            (cost, metrics), grads = disc_grad(
+                disc_params, gen_params, real, jax.random.fold_in(key, i)
+            )
+            disc_params, disc_opt = disc_optimizer.update(
+                grads, disc_opt, disc_params, state.step
+            )
+            if cfg.mode == "wgan":
+                disc_params = optim.clip_params_by_value(disc_params, cfg.clip_value)
+            return (disc_params, disc_opt), metrics
+
+        idx = jnp.arange(real_stack.shape[0])
+        (disc_params, disc_opt), metric_stack = jax.lax.scan(
+            critic_body, (state.disc_params, state.disc_opt), (idx, real_stack)
+        )
+        metrics = {k: v[-1] for k, v in metric_stack.items()}  # last critic iter
+        metrics["gen_cost"] = g_cost
+
+        new_state = GANState(
+            gen_params, disc_params, gen_opt, disc_opt, state.step + 1
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------- eval utils
+
+    def disc_cost_fn(state: GANState, real: jax.Array, key: jax.Array):
+        """Dev-set discriminator cost (the 'dev disc cost' metric,
+        CT_gan_cifar.py:215-230)."""
+        cost, _metrics = disc_loss(state.disc_params, state.gen_params, real, key)
+        return cost
+
+    def sample_fn(state: GANState, noise: jax.Array, key: jax.Array):
+        """Fixed-noise sample grid (CT_gan_cifar.py:160-165)."""
+        with rng_context({"default": key}):
+            with apply_context(state.gen_params):
+                return gen_fn(noise.shape[0], noise=noise)
+
+    def init_state(gen_params: dict, disc_params: dict) -> GANState:
+        return GANState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt=gen_optimizer.init(gen_params),
+            disc_opt=disc_optimizer.init(disc_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    return init_state, step_fn, sample_fn, disc_cost_fn
