@@ -1,0 +1,120 @@
+"""Data iterators: resumable host epoch iterator + fully on-device sampler.
+
+The reference feeds one NumPy batch per ``sess.run`` through ``feed_dict``
+(CT_gan_cifar.py:200-202) and fast-forwards the Python generator on resume
+(train_loop_2.py:131-139).  TPU-native redesign:
+
+* ``EpochIterator`` — deterministic shuffled epochs over host arrays with an
+  explicit ``state()``/``set_state()`` (seed, epoch, cursor) so resume is an
+  O(1) state restore, not a generator replay.
+* ``stack_batches`` — groups ``critic_iters`` consecutive batches into one
+  ``[K, B, ...]`` array so a full 5:1 GAN cycle is one host→device transfer.
+* ``DeviceSampler`` — the whole dataset lives in HBM; per-step batch
+  selection (shuffled-epoch semantics) happens *inside* the jitted train
+  step via a seeded permutation gather, so steady-state training does zero
+  host→device data movement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["EpochIterator", "stack_batches", "DeviceSampler"]
+
+
+class EpochIterator:
+    """Shuffled epoch batches over one or more aligned arrays.
+
+    Mirrors ``mnist_generator``/``cifar_generator`` (tflib/mnist.py:8-46,
+    tflib/cifar10.py:14-63): a fresh permutation each epoch, fixed batch
+    size, drop-last.
+    """
+
+    def __init__(self, arrays: Sequence[np.ndarray], batch_size: int, seed: int = 0):
+        n = len(arrays[0])
+        assert all(len(a) == n for a in arrays)
+        assert n >= batch_size, f"dataset ({n}) smaller than batch ({batch_size})"
+        self.arrays = [np.ascontiguousarray(a) for a in arrays]
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = 0
+        self.cursor = 0
+        self._perm = self._epoch_perm(0)
+
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, epoch))
+        return rng.permutation(len(self.arrays[0]))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        n = len(self._perm)
+        if self.cursor + self.batch_size > n:
+            self.epoch += 1
+            self.cursor = 0
+            self._perm = self._epoch_perm(self.epoch)
+        idx = self._perm[self.cursor : self.cursor + self.batch_size]
+        self.cursor += self.batch_size
+        out = tuple(a[idx] for a in self.arrays)
+        return out[0] if len(out) == 1 else out
+
+    def batches_per_epoch(self) -> int:
+        return len(self.arrays[0]) // self.batch_size
+
+    # -- resumable state (supersedes train_loop_2.py generator replay) ----
+    def state(self) -> dict:
+        return {"seed": self.seed, "epoch": self.epoch, "cursor": self.cursor}
+
+    def set_state(self, state: dict) -> None:
+        self.seed = int(state["seed"])
+        self.epoch = int(state["epoch"])
+        self.cursor = int(state["cursor"])
+        self._perm = self._epoch_perm(self.epoch)
+
+
+def stack_batches(it: Iterator, k: int):
+    """Yield [K, ...] stacks of k consecutive batches (one per critic iter)."""
+    while True:
+        parts = [next(it) for _ in range(k)]
+        if isinstance(parts[0], tuple):
+            yield tuple(np.stack([p[i] for p in parts]) for i in range(len(parts[0])))
+        else:
+            yield np.stack(parts)
+
+
+class DeviceSampler:
+    """HBM-resident dataset with in-step batch selection.
+
+    ``sample(key, step)`` returns ``[K, B, ...]`` batches chosen by a seeded
+    permutation over the dataset — call it *inside* the jitted step (it is
+    pure) so no host data transfer happens during training.  Epoch semantics:
+    each generator iteration consumes K·B consecutive slots of a permutation
+    reseeded every epoch, matching the reference's shuffled-epoch draws.
+    """
+
+    def __init__(self, arrays, batch_size: int, critic_iters: int = 1, seed: int = 0):
+        self.arrays = [jnp.asarray(a) for a in arrays]
+        self.n = int(self.arrays[0].shape[0])
+        self.batch_size = batch_size
+        self.k = critic_iters
+        self.seed = seed
+        self.per_iter = batch_size * critic_iters
+        self.iters_per_epoch = max(1, self.n // self.per_iter)
+
+    def sample(self, step: jax.Array):
+        epoch = step // self.iters_per_epoch
+        slot = step % self.iters_per_epoch
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        perm = jax.random.permutation(key, self.n)
+        start = slot * self.per_iter
+        idx = jax.lax.dynamic_slice_in_dim(perm, start, self.per_iter)
+        outs = []
+        for a in self.arrays:
+            batch = jnp.take(a, idx, axis=0)
+            outs.append(batch.reshape((self.k, self.batch_size) + a.shape[1:]))
+        return outs[0] if len(outs) == 1 else tuple(outs)

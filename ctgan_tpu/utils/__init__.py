@@ -1,0 +1,16 @@
+"""Utilities: metric logging, image grids, atomic checkpointing, debug
+probes, profiling, random search."""
+
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .debug import assert_finite, check_grads_exist, print_stats, stats
+from .images import make_grid, save_images
+from .logging import MetricLogger
+from .profiler import StepTimer, profile_step
+from .random_search import random_search
+
+__all__ = [
+    "latest_checkpoint", "load_checkpoint", "save_checkpoint",
+    "assert_finite", "check_grads_exist", "print_stats", "stats",
+    "make_grid", "save_images", "MetricLogger", "StepTimer", "profile_step",
+    "random_search",
+]

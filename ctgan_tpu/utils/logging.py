@@ -1,0 +1,93 @@
+"""Metric logging (rebuild of ``tflib/plot.py`` and the ndjson log of
+``train_loop_2.py:169-194``).
+
+``MetricLogger`` keeps the reference's exact usage pattern — ``plot(name,
+value)`` buffered per iteration, ``tick()`` to advance, ``flush()`` to emit —
+and extends it with structured ndjson output and optional per-metric curve
+images (matplotlib Agg, like tflib/plot.py:29-37).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+__all__ = ["MetricLogger"]
+
+
+class MetricLogger:
+    def __init__(
+        self,
+        out_dir: str | None = None,
+        *,
+        save_curves: bool = False,
+        print_std: bool = False,
+    ):
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        self.save_curves = save_curves
+        self.print_std = print_std  # LSUN fork prints ±std (plot.py:26-33)
+        self._iter = 0
+        self._since_flush: dict[str, list] = collections.defaultdict(list)
+        self._history: dict[str, dict[int, float]] = collections.defaultdict(dict)
+
+    # -- reference API (tflib/plot.py:15-41) ------------------------------
+    def plot(self, name: str, value) -> None:
+        self._since_flush[name].append(float(np.asarray(value)))
+
+    def tick(self) -> None:
+        self._iter += 1
+
+    def flush(self) -> dict:
+        """Print per-metric means since last flush; append ndjson; optionally
+        save curve images and a log pickle.  Returns the flushed record."""
+        prints = []
+        record: dict = {"iteration": self._iter, "time": time.time()}
+        for name, vals in sorted(self._since_flush.items()):
+            mean = float(np.mean(vals))
+            record[name] = mean
+            if self.print_std and len(vals) > 1:
+                prints.append(f"{name}\t{mean:.5f}±{float(np.std(vals)):.5f}")
+            else:
+                prints.append(f"{name}\t{mean:.5f}")
+            self._history[name][self._iter] = mean
+        print(f"iter {self._iter}\t" + "\t".join(prints), flush=True)
+        self._since_flush.clear()
+
+        if self.out_dir:
+            with open(os.path.join(self.out_dir, "log.ndjson"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+            with open(os.path.join(self.out_dir, "log.pkl"), "wb") as f:
+                pickle.dump(dict(self._history), f)
+            if self.save_curves:
+                self._save_curves()
+        return record
+
+    def _save_curves(self) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for name, series in self._history.items():
+            xs = sorted(series)
+            plt.figure(figsize=(6, 4))
+            plt.plot(xs, [series[x] for x in xs])
+            plt.xlabel("iteration")
+            plt.ylabel(name)
+            safe = name.replace(" ", "_").replace("/", "_")
+            plt.savefig(os.path.join(self.out_dir, f"{safe}.jpg"))
+            plt.close()
+
+    @property
+    def iteration(self) -> int:
+        return self._iter
+
+    def history(self, name: str) -> dict[int, float]:
+        return dict(self._history.get(name, {}))

@@ -1,0 +1,161 @@
+"""Data pipeline + utils tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctgan_tpu.data import (
+    DeviceSampler,
+    EpochIterator,
+    cifar10,
+    images_dir,
+    mnist,
+    random_crop_flip,
+    stack_batches,
+    two_stream_augment,
+    dequantize,
+)
+from ctgan_tpu.utils import (
+    MetricLogger,
+    load_checkpoint,
+    make_grid,
+    random_search,
+    save_checkpoint,
+    save_images,
+)
+
+
+def test_epoch_iterator_shuffles_and_resumes():
+    data = np.arange(100).reshape(100, 1)
+    it = EpochIterator([data], 10, seed=3)
+    seen = [next(it) for _ in range(10)]
+    all_vals = np.concatenate(seen).ravel()
+    assert sorted(all_vals.tolist()) == list(range(100))  # full epoch, no dup
+    # resume mid-epoch gives identical continuation
+    it2 = EpochIterator([data], 10, seed=3)
+    for _ in range(4):
+        next(it2)
+    state = it2.state()
+    a = next(it2)
+    it3 = EpochIterator([data], 10, seed=3)
+    it3.set_state(state)
+    b = next(it3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stack_batches():
+    data = np.arange(40).reshape(40, 1)
+    it = EpochIterator([data], 4, seed=0)
+    stacked = next(stack_batches(it, 5))
+    assert stacked.shape == (5, 4, 1)
+
+
+def test_device_sampler_epoch_coverage():
+    data = np.arange(64).reshape(64, 1).astype("float32")
+    s = DeviceSampler([data], batch_size=8, critic_iters=2, seed=0)
+    assert s.iters_per_epoch == 4
+    seen = []
+    for step in range(4):
+        batch = s.sample(jnp.asarray(step))
+        assert batch.shape == (2, 8, 1)
+        seen.append(np.asarray(batch).ravel())
+    vals = np.concatenate(seen)
+    assert sorted(vals.tolist()) == list(range(64))  # one full epoch exactly
+
+
+def test_mnist_cifar_loaders_synthetic():
+    train_gen, dev_gen, test_gen = mnist.load(50, 50, n_examples=1000)
+    imgs, labels = next(iter(train_gen()))
+    assert imgs.shape == (50, 784) and imgs.dtype == np.float32
+    assert 0 <= imgs.min() and imgs.max() <= 1
+    tg, dg = cifar10.load(64, n_examples=1000)
+    imgs, labels = next(iter(tg()))
+    assert imgs.shape == (64, 3072) and imgs.dtype == np.uint8
+    x, y = cifar10.load_normalized()
+    assert x.shape == (50000, 3, 32, 32)
+    assert -0.51 < x.min() and x.max() < 0.51
+
+
+def test_images_dir_generator_synthetic():
+    g = images_dir.image_dir_generator(None, 8, size=32, synthetic_n=64)
+    b = next(g)
+    assert b.shape == (8, 3, 32, 32) and b.dtype == np.uint8
+    f = images_dir.fake_image_generator(4, size=16)
+    b1, b2 = next(f), next(f)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_random_crop_flip_properties():
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(size=(16, 32, 32, 3)).astype("f4"))
+    out = random_crop_flip(imgs, jax.random.PRNGKey(0))
+    assert out.shape == imgs.shape
+    a, b = two_stream_augment(imgs, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(a), np.asarray(b))  # independent
+    # deterministic under same key
+    a2, _ = two_stream_augment(imgs, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+
+
+def test_dequantize_range():
+    x = jnp.zeros((4, 8))
+    y = np.asarray(dequantize(x, jax.random.PRNGKey(0)))
+    assert (y >= 0).all() and (y < 1 / 128).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "params": {"w": np.arange(6, dtype="f4").reshape(2, 3)},
+        "opt": {"m": np.ones(3, "f4"), "t": np.zeros((), "f4")},
+        "loop": {"iteration": 42, "name": "run1", "flag": True},
+        "data_state": {"seed": 0, "epoch": 2, "cursor": 30},
+    }
+    path = str(tmp_path / "ckpt_42.npz")
+    save_checkpoint(path, tree)
+    loaded = load_checkpoint(path)
+    np.testing.assert_array_equal(loaded["params"]["w"], tree["params"]["w"])
+    assert loaded["loop"]["iteration"] == 42
+    assert loaded["loop"]["name"] == "run1"
+    assert loaded["loop"]["flag"] is True
+    assert loaded["data_state"]["cursor"] == 30
+
+
+def test_latest_checkpoint(tmp_path):
+    from ctgan_tpu.utils import latest_checkpoint
+
+    for step in (10, 200, 30):
+        save_checkpoint(str(tmp_path / f"ckpt_{step}.npz"), {"x": np.zeros(1)})
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_200.npz")
+
+
+def test_metric_logger(tmp_path, capsys):
+    log = MetricLogger(str(tmp_path))
+    log.plot("cost", 1.0)
+    log.plot("cost", 3.0)
+    log.tick()
+    rec = log.flush()
+    assert rec["cost"] == 2.0
+    out = capsys.readouterr().out
+    assert "cost" in out
+    assert os.path.exists(tmp_path / "log.ndjson")
+
+
+def test_make_grid_and_save(tmp_path):
+    imgs = np.random.default_rng(0).uniform(size=(16, 3, 8, 8)).astype("f4")
+    grid = make_grid(imgs)
+    assert grid.shape == (32, 32, 3) and grid.dtype == np.uint8
+    save_images(imgs, str(tmp_path / "g.png"))
+    assert os.path.exists(tmp_path / "g.png")
+    gray = np.random.default_rng(0).uniform(size=(9, 8, 8)).astype("f4")
+    assert make_grid(gray).shape == (24, 24)
+
+
+def test_random_search_sharding():
+    grid = {"lr": [1, 2], "dim": [64, 128], "mode": ["a", "b"]}
+    all_cfgs = random_search(grid, 1, 0)
+    assert len(all_cfgs) == 8
+    s0 = random_search(grid, 2, 0)
+    s1 = random_search(grid, 2, 1)
+    assert len(s0) + len(s1) == 8
+    assert not any(c in s1 for c in s0)
