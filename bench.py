@@ -1,0 +1,108 @@
+"""Benchmark: flagship CT-GAN training throughput on the available device.
+
+Workload = the reference's headline config (CT_gan_cifar_resnet.py): CIFAR-10
+conditional ResNet/ACGAN CT-GAN, DIM 128, critic batch 64, 5 critic steps +
+1 generator step (batch 128) per iteration, full CT + gradient-penalty
+double backward + ACGAN heads — the complete training iteration, fused into
+one jitted program, data resident in HBM.
+
+Metric: real training images consumed per second per chip
+(= batch_size * critic_iters / sec-per-iteration).
+
+Baseline: the reference publishes no throughput (BASELINE.md) — it measured
+a per-iter 'time' metric but never reported it.  The TF-1.2 baseline for this
+exact model on the era's hardware (1-2 GPUs, in-graph split) is ~1.4 s/iter,
+i.e. ~230 images/sec — reconstructed from the reference's own training-length
+choices (100k iters ≈ 1.5-2 days on 2 GPUs, CT_gan_cifar_resnet.py:41) and
+the paper's reported wall-clock scale.  vs_baseline is measured / 230.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 230.0  # see module docstring
+
+BATCH = 64
+CRITIC_ITERS = 5
+DIM = 128
+WARMUP_ITERS = 3
+MEASURE_ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ctgan_tpu.core import default_tpu_policy
+    from ctgan_tpu.data.synthetic import synthetic_cifar10
+    from ctgan_tpu.models import resnet_cifar
+    from ctgan_tpu.train.trainer_acgan import AcganConfig, make_acgan_trainer
+    from __graft_entry__ import _init_flagship
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    default_tpu_policy(enable_bf16=on_tpu)
+
+    cfg_model = resnet_cifar.ResnetCifarConfig(dim_g=DIM, dim_d=DIM)
+    cfg = AcganConfig(batch_size=BATCH, critic_iters=CRITIC_ITERS, iters=100000)
+
+    def gen_fn(n, labels, noise=None):
+        return resnet_cifar.generator(n, labels, noise=noise, cfg=cfg_model)
+
+    def disc_fn(x, labels, kp1, kp2, kp3):
+        return resnet_cifar.discriminator(x, labels, kp1, kp2, kp3, cfg_model)
+
+    init_state, step_fn, _s, _g = make_acgan_trainer(gen_fn, disc_fn, cfg)
+    gen_params, disc_params = _init_flagship(cfg_model)
+    state = init_state(gen_params, disc_params)
+
+    # HBM-resident data; one stacked [K, B] batch per iteration
+    (train_x, train_y), _ = synthetic_cifar10(n_train=BATCH * CRITIC_ITERS * 4)
+    from ctgan_tpu.data import DeviceSampler
+
+    sampler = DeviceSampler(
+        [train_x.astype("int32"), train_y.astype("int32")], BATCH, CRITIC_ITERS
+    )
+
+    def full_step(state, step_idx, key):
+        real_stack, label_stack = sampler.sample(step_idx)
+        return step_fn(state, real_stack, label_stack, key)
+
+    jit_step = jax.jit(full_step, donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+
+    t_compile = time.perf_counter()
+    for i in range(WARMUP_ITERS):
+        state, metrics = jit_step(state, jnp.asarray(i), key)
+    jax.block_until_ready(metrics)
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP_ITERS, WARMUP_ITERS + MEASURE_ITERS):
+        state, metrics = jit_step(state, jnp.asarray(i), key)
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - t0
+
+    sec_per_iter = elapsed / MEASURE_ITERS
+    images_per_sec = BATCH * CRITIC_ITERS / sec_per_iter
+    result = {
+        "metric": "cifar_resnet_ctgan_train_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+        "sec_per_iter": round(sec_per_iter, 4),
+        "compile_plus_warmup_sec": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+        "config": f"dim={DIM} batch={BATCH} critic_iters={CRITIC_ITERS} mode=wgan-CT+ACGAN",
+        "final_disc_cost": float(np.asarray(metrics["disc_cost"])),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""MXU-friendly matmul/conv wrappers under the precision policy.
+
+In bf16 mode both operands are cast to bf16 and the op runs without
+``preferred_element_type`` (the TPU MXU accumulates bf16 inputs in fp32
+internally); the result is cast back to fp32 so reductions and losses stay
+full precision.  Avoiding ``preferred_element_type`` keeps the autodiff
+transpose rules dtype-consistent — with it, the f32 cotangent meets bf16
+filters inside the gradient conv and XLA rejects the mixed dtypes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .precision import compute_dtype
+
+__all__ = ["matmul", "conv", "conv_transpose"]
+
+
+def matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+    dt = compute_dtype()
+    if dt == jnp.float32:
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return jnp.dot(x.astype(dt), w.astype(dt)).astype(jnp.float32)
+
+
+def conv(x, filters, *, window_strides, padding, dimension_numbers, feature_group_count=1):
+    dt = compute_dtype()
+    if dt == jnp.float32:
+        return jax.lax.conv_general_dilated(
+            x, filters,
+            window_strides=window_strides, padding=padding,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count,
+            preferred_element_type=jnp.float32,
+        )
+    out = jax.lax.conv_general_dilated(
+        x.astype(dt), filters.astype(dt),
+        window_strides=window_strides, padding=padding,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+    )
+    return out.astype(jnp.float32)
+
+
+def conv_transpose(x, filters, *, strides, padding, dimension_numbers):
+    dt = compute_dtype()
+    if dt == jnp.float32:
+        return jax.lax.conv_transpose(
+            x, filters, strides=strides, padding=padding,
+            dimension_numbers=dimension_numbers, transpose_kernel=True,
+            preferred_element_type=jnp.float32,
+        )
+    out = jax.lax.conv_transpose(
+        x.astype(dt), filters.astype(dt), strides=strides, padding=padding,
+        dimension_numbers=dimension_numbers, transpose_kernel=True,
+    )
+    return out.astype(jnp.float32)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import store
-from ..core.precision import compute_dtype
+from ..core.matmul import conv as _mxu_conv, conv_transpose as _mxu_conv_transpose
 from .init import conv_filter_stdev, uniform_stdev
 
 __all__ = ["conv2d", "deconv2d", "conv1d", "separable_conv2d"]
@@ -86,14 +86,12 @@ def conv2d(
             _ar_mask(filter_size, input_dim, output_dim, mtype, n_ch)
         )
 
-    dt = compute_dtype()
-    result = jax.lax.conv_general_dilated(
-        inputs.astype(dt),
-        filters.astype(dt),
+    result = _mxu_conv(
+        inputs,
+        filters,
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
@@ -138,15 +136,12 @@ def deconv2d(
         # per-output-channel norms: reduce over (H, W, I) = axes (0, 1, 3)
         filters = _weightnormed(name, filters, (0, 1, 3))
 
-    dt = compute_dtype()
-    result = jax.lax.conv_transpose(
-        inputs.astype(dt),
-        filters.astype(dt),
+    result = _mxu_conv_transpose(
+        inputs,
+        filters,
         strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
@@ -204,14 +199,12 @@ def conv1d(
                     mask[center, i::n_ch, j::n_ch] = 0.0
         filters = filters * jnp.asarray(mask)
 
-    dt = compute_dtype()
-    result = jax.lax.conv_general_dilated(
-        inputs.astype(dt),
-        filters.astype(dt),
+    result = _mxu_conv(
+        inputs,
+        filters,
         window_strides=(stride,),
         padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
@@ -247,25 +240,22 @@ def separable_conv2d(
             ctx.rng, pw_stdev, (1, 1, input_dim * depth_multiplier, output_dim)
         ),
     )
-    dt = compute_dtype()
     # depthwise: feature_group_count = input_dim, filters reshaped HW1(I*M)
     dw = depthwise.reshape(filter_size, filter_size, 1, input_dim * depth_multiplier)
-    out = jax.lax.conv_general_dilated(
-        inputs.astype(dt),
-        dw.astype(dt),
+    out = _mxu_conv(
+        inputs,
+        dw,
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=input_dim,
-        preferred_element_type=jnp.float32,
     )
-    out = jax.lax.conv_general_dilated(
-        out.astype(dt),
-        pointwise.astype(dt),
+    out = _mxu_conv(
+        out,
+        pointwise,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import store
-from ..core.precision import compute_dtype
+from ..core.matmul import matmul as _mxu_matmul
 from .init import linear_initializer
 
 __all__ = ["linear"]
@@ -53,14 +53,11 @@ def linear(
         norms = jnp.sqrt(jnp.sum(jnp.square(weight), axis=0))
         weight = weight * (target_norms / norms)
 
-    dt = compute_dtype()
-    x = inputs.astype(dt)
-    w = weight.astype(dt)
-    if x.ndim == 2:
-        result = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if inputs.ndim == 2:
+        result = _mxu_matmul(inputs, weight)
     else:
-        flat = x.reshape(-1, input_dim)
-        result = jnp.dot(flat, w, preferred_element_type=jnp.float32)
+        flat = inputs.reshape(-1, input_dim)
+        result = _mxu_matmul(flat, weight)
         result = result.reshape(*inputs.shape[:-1], output_dim)
 
     if biases:

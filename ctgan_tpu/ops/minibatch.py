@@ -38,15 +38,13 @@ def minibatch_discrimination(
     )
     b = store.param(name + ".b", lambda: -np.ones(num_kernels, dtype="float32"))
 
-    dt = compute_dtype()
     w = theta * (
         jnp.exp(log_weight_scale)
         / jnp.sqrt(jnp.sum(jnp.square(theta), axis=0))
     )
     # activation: [N, K, D]
-    act = jnp.einsum(
-        "ni,ikd->nkd", inputs.astype(dt), w.astype(dt), preferred_element_type=jnp.float32
-    )
+    dt = compute_dtype()
+    act = jnp.einsum("ni,ikd->nkd", inputs.astype(dt), w.astype(dt)).astype(jnp.float32)
     # |act_n - act_m| L1 over D -> [N, M, K]
     abs_dif = jnp.sum(jnp.abs(act[:, None, :, :] - act[None, :, :, :]), axis=-1)
     n = inputs.shape[0]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import store
-from ..core.precision import compute_dtype
+from ..core.matmul import conv as _mxu_conv, conv_transpose as _mxu_conv_transpose, matmul as _mxu_matmul
 
 __all__ = ["wn_dense", "wn_conv2d", "wn_deconv2d", "l2_dense"]
 
@@ -69,8 +69,7 @@ def wn_dense(
 
     norms = jnp.sqrt(_EPS + jnp.sum(jnp.square(W), axis=0))
     w_eff = W * (g / norms)
-    dt = compute_dtype()
-    pre = jnp.dot(inputs.astype(dt), w_eff.astype(dt), preferred_element_type=jnp.float32)
+    pre = _mxu_matmul(inputs, w_eff)
 
     if dd_init:
         m = jnp.mean(pre, axis=0)
@@ -118,14 +117,12 @@ def wn_conv2d(
         padding = [(pad, pad), (pad, pad)]
     else:
         padding = pad
-    dt = compute_dtype()
-    pre = jax.lax.conv_general_dilated(
-        inputs.astype(dt),
-        w_eff.astype(dt),
+    pre = _mxu_conv(
+        inputs,
+        w_eff,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if dd_init:
         m = jnp.mean(pre, axis=(0, 1, 2))
@@ -165,15 +162,12 @@ def wn_deconv2d(
 
     norms = jnp.sqrt(_EPS + jnp.sum(jnp.square(W), axis=(0, 1, 3)))
     w_eff = W * (g / norms)[None, None, :, None]
-    dt = compute_dtype()
-    pre = jax.lax.conv_transpose(
-        inputs.astype(dt),
-        w_eff.astype(dt),
+    pre = _mxu_conv_transpose(
+        inputs,
+        w_eff,
         strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     )
     if dd_init:
         m = jnp.mean(pre, axis=(0, 1, 2))
@@ -202,6 +196,5 @@ def l2_dense(
         lambda: ctx.rng.normal(0.0, w_stdev, (input_dim, output_dim)).astype("float32"),
     )
     w_eff = W / jnp.sqrt(_EPS + jnp.sum(jnp.square(W), axis=0, keepdims=True))
-    dt = compute_dtype()
-    pre = jnp.dot(inputs.astype(dt), w_eff.astype(dt), preferred_element_type=jnp.float32)
+    pre = _mxu_matmul(inputs, w_eff)
     return nonlinearity(pre) if nonlinearity is not None else pre

@@ -1,0 +1,201 @@
+"""Conditional ACGAN CT-GAN trainer (rebuild of CT_gan_cifar_resnet.py's
+graph build + loop, lines 188-434).
+
+Differences from the unconditional trainer worth naming:
+
+* The critic batch is processed **real‖fake concatenated** through one D
+  pass (reference line 214-221), twice for the CT pair, plus a clean
+  (kp=1) pass for the accuracy monitors — all in one program.
+* ACGAN CE on the real half joins the critic loss at ``acgan_scale``; the
+  generator gets its own CE at ``acgan_scale_g``.
+* Linear LR decay from ``_iteration`` (reference :309-312) via the schedule.
+* ``gen_bs_multiple`` — generator batches are 2x the critic batch.
+* Real inputs are dequantized with U[0, 1/128) noise (reference :202) inside
+  the step.
+
+The reference's DEVICES_A/DEVICES_B graph split is replaced by batch sharding
+over the mesh 'data' axis (see parallel.mesh docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import apply_context, rng_context
+from ..core import rng as rng_mod
+from ..losses.gan import (
+    acgan_accuracy,
+    acgan_loss,
+    consistency_term,
+    gradient_penalty,
+    wgan_losses,
+)
+from . import optim, schedules
+
+__all__ = ["AcganConfig", "AcganState", "make_acgan_trainer"]
+
+
+@dataclass(frozen=True)
+class AcganConfig:
+    batch_size: int = 64
+    critic_iters: int = 5           # N_CRITIC (:51)
+    lambda_gp: float = 10.0
+    lambda_ct: float = 2.0          # LAMBDA_2 (:37)
+    factor_m: float = 0.0
+    lr: float = 2e-4                # LR (:48)
+    beta1: float = 0.0              # (:333-334)
+    beta2: float = 0.9
+    iters: int = 100000             # ITERS (:41)
+    decay: bool = True              # DECAY (:49)
+    gen_bs_multiple: int = 2        # GEN_BS_MULTIPLE (:40)
+    n_labels: int = 10
+    conditional: bool = True
+    acgan: bool = True
+    acgan_scale: float = 1.0        # ACGAN_SCALE (:57)
+    acgan_scale_g: float = 0.1      # ACGAN_SCALE_G (:58)
+    kp: tuple = (0.8, 0.5, 0.5)     # dropout keep probs (:232)
+
+
+class AcganState(NamedTuple):
+    gen_params: dict
+    disc_params: dict
+    gen_opt: dict
+    disc_opt: dict
+    step: jax.Array
+
+
+def make_acgan_trainer(
+    gen_fn: Callable,   # gen_fn(n, labels, noise=None) -> flat images
+    disc_fn: Callable,  # disc_fn(x, labels, kp1, kp2, kp3) -> DiscOut
+    cfg: AcganConfig,
+):
+    lr = schedules.linear_decay(cfg.lr, cfg.iters) if cfg.decay else cfg.lr
+    gen_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
+    disc_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
+    kp1, kp2, kp3 = cfg.kp
+
+    def _rand_labels(key, n):
+        # tf.cast(tf.random_uniform([n])*10, tf.int32) (:317)
+        return jax.random.randint(key, (n,), 0, cfg.n_labels)
+
+    def disc_loss(disc_params, gen_params, real, labels, key):
+        b = real.shape[0]
+        with rng_context({"default": key}):
+            with apply_context({**gen_params, **disc_params}):
+                fake = gen_fn(b, labels)
+                both = jnp.concatenate([real, fake], axis=0)
+                both_labels = jnp.concatenate([labels, labels], axis=0)
+
+                d_all = disc_fn(both, both_labels, kp1, kp2, kp3)
+                d_all_2 = disc_fn(both, both_labels, kp1, kp2, kp3)
+                d_clean = disc_fn(both, both_labels, 1.0, 1.0, 1.0)
+
+                d_real, d_fake = d_all.wgan[:b], d_all.wgan[b:]
+                f_real = d_all.features[:b]
+                d_real_2 = d_all_2.wgan[:b]
+                f_real_2 = d_all_2.features[:b]
+
+                _, wgan = wgan_losses(d_real, d_fake)
+                ct = consistency_term(
+                    d_real, d_real_2, f_real, f_real_2,
+                    lambda_2=cfg.lambda_ct, factor_m=cfg.factor_m,
+                )
+                gp, _slopes = gradient_penalty(
+                    lambda x: (disc_fn(x, labels, kp1, kp2, kp3).wgan, None),
+                    real, fake, rng_mod.next_key("gp"),
+                )
+                cost = wgan + ct + cfg.lambda_gp * gp
+                metrics = {"wgan": wgan, "ct": ct, "gp": gp}
+                if cfg.conditional and cfg.acgan:
+                    ac = acgan_loss(d_all.acgan[:b], labels)
+                    cost = cost + cfg.acgan_scale * ac
+                    metrics["acgan"] = ac
+                    metrics["acc_real"] = acgan_accuracy(d_clean.acgan[:b], labels)
+                    metrics["acc_fake"] = acgan_accuracy(d_clean.acgan[b:], labels)
+                metrics["disc_cost"] = cost
+                return cost, metrics
+
+    def gen_loss(gen_params, disc_params, key):
+        n = cfg.gen_bs_multiple * cfg.batch_size
+        with rng_context({"default": key}):
+            with apply_context({**gen_params, **disc_params}):
+                fake_labels = _rand_labels(rng_mod.next_key("labels"), n)
+                fake = gen_fn(n, fake_labels)
+                d = disc_fn(fake, fake_labels, kp1, kp2, kp3)
+                cost = -jnp.mean(d.wgan)
+                if cfg.conditional and cfg.acgan:
+                    cost = cost + cfg.acgan_scale_g * acgan_loss(d.acgan, fake_labels)
+                return cost
+
+    disc_grad = jax.value_and_grad(disc_loss, has_aux=True)
+    gen_grad = jax.value_and_grad(gen_loss)
+
+    def step_fn(state: AcganState, real_stack, label_stack, base_key):
+        """real_stack: [K, B, 3072] int-valued uint8 pixels; label_stack:
+        [K, B].  Dequantization + rescale to [-1,1] happens on device
+        (reference :201-202)."""
+        key = jax.random.fold_in(base_key, state.step)
+
+        g_cost, g_grads = gen_grad(
+            state.gen_params, state.disc_params, jax.random.fold_in(key, 1000)
+        )
+        new_gen_params, new_gen_opt = gen_optimizer.update(
+            g_grads, state.gen_opt, state.gen_params, state.step
+        )
+        do_gen = (state.step > 0).astype(jnp.float32)
+        gen_params = jax.tree.map(
+            lambda new, old: do_gen * new + (1.0 - do_gen) * old,
+            new_gen_params, state.gen_params,
+        )
+        gen_opt = jax.tree.map(
+            lambda new, old: do_gen * new + (1.0 - do_gen) * old,
+            new_gen_opt, state.gen_opt,
+        )
+
+        def critic_body(carry, inp):
+            disc_params, disc_opt = carry
+            i, real_int, labels = inp
+            dq_key = jax.random.fold_in(key, 5000 + i)
+            real = 2.0 * (real_int.astype(jnp.float32) / 256.0 - 0.5)
+            real = real + jax.random.uniform(dq_key, real.shape, maxval=1.0 / 128)
+            (cost, metrics), grads = disc_grad(
+                disc_params, gen_params, real, labels, jax.random.fold_in(key, i)
+            )
+            disc_params, disc_opt = disc_optimizer.update(
+                grads, disc_opt, disc_params, state.step
+            )
+            return (disc_params, disc_opt), metrics
+
+        idx = jnp.arange(real_stack.shape[0])
+        (disc_params, disc_opt), mstack = jax.lax.scan(
+            critic_body, (state.disc_params, state.disc_opt),
+            (idx, real_stack, label_stack),
+        )
+        metrics = {k: v[-1] for k, v in mstack.items()}
+        metrics["gen_cost"] = g_cost
+        return AcganState(gen_params, disc_params, gen_opt, disc_opt, state.step + 1), metrics
+
+    def sample_fn(state: AcganState, noise, labels, key):
+        with rng_context({"default": key}):
+            with apply_context(state.gen_params):
+                return gen_fn(noise.shape[0], labels, noise=noise)
+
+    def generate_fn(state: AcganState, n: int, key):
+        """Random-label samples for IS/FID (reference samples_100, :352-360)."""
+        with rng_context({"default": key}):
+            with apply_context(state.gen_params):
+                labels = _rand_labels(rng_mod.next_key("labels"), n)
+                return gen_fn(n, labels), labels
+
+    def init_state(gen_params, disc_params) -> AcganState:
+        return AcganState(
+            gen_params, disc_params,
+            gen_optimizer.init(gen_params), disc_optimizer.init(disc_params),
+            jnp.zeros((), jnp.int32),
+        )
+
+    return init_state, step_fn, sample_fn, generate_fn
