@@ -30,8 +30,11 @@ def synthetic_images(
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, size=n).astype("int64")
     yy, xx = np.mgrid[0:size, 0:size].astype("float32") / size
-    centers = rng.uniform(0.15, 0.85, size=(n_classes, 3, 2)).astype("float32")
-    widths = rng.uniform(0.05, 0.15, size=(n_classes, 3)).astype("float32")
+    # Class prototypes are seeded by the dataset *shape* only, so different
+    # splits (different sampling seeds) share the same class definitions.
+    proto_rng = np.random.default_rng((n_classes, channels, size))
+    centers = proto_rng.uniform(0.15, 0.85, size=(n_classes, 3, 2)).astype("float32")
+    widths = proto_rng.uniform(0.05, 0.15, size=(n_classes, 3)).astype("float32")
     base = np.zeros((n_classes, size, size), dtype="float32")
     for c in range(n_classes):
         for b in range(3):
@@ -43,7 +46,7 @@ def synthetic_images(
     imgs = base[labels]  # [N, H, W]
     imgs = imgs[:, None, :, :].repeat(channels, axis=1)
     if channels == 3:
-        tint = rng.uniform(0.5, 1.0, size=(n_classes, 3, 1, 1)).astype("float32")
+        tint = proto_rng.uniform(0.5, 1.0, size=(n_classes, 3, 1, 1)).astype("float32")
         imgs = imgs * tint[labels]
     noise = rng.normal(0, 0.08, size=imgs.shape).astype("float32")
     imgs = np.clip(imgs + noise, 0.0, 1.0)

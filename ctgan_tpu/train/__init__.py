@@ -1,6 +1,15 @@
 """Training: optimizers, schedules, GAN/semi-sup trainers, loop utilities."""
 
 from . import optim, schedules
+from .loop import LoopConfig, train_loop
+from .trainer_acgan import AcganConfig, AcganState, make_acgan_trainer
 from .trainer_gan import GanConfig, GANState, make_gan_trainer
+from .trainer_semisup import SslConfig, SslState, make_ssl_trainer
+from .wn_init import data_dependent_init
 
-__all__ = ["optim", "schedules", "GanConfig", "GANState", "make_gan_trainer"]
+__all__ = [
+    "optim", "schedules", "LoopConfig", "train_loop",
+    "AcganConfig", "AcganState", "make_acgan_trainer",
+    "GanConfig", "GANState", "make_gan_trainer",
+    "SslConfig", "SslState", "make_ssl_trainer", "data_dependent_init",
+]
