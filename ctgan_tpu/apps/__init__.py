@@ -1,0 +1,36 @@
+"""Entry-point trainers — the L5 "CLI" layer of the reference rebuilt as
+``python -m ctgan_tpu.apps.<name>`` modules with argparse configs:
+
+=====================  ===========================================
+reference script        app module
+=====================  ===========================================
+CT_gan_mnist.py         ct_gan_mnist
+CT_gan_cifar.py         ct_gan_cifar
+CT_gan_cifar_resnet.py  ct_gan_cifar_resnet (flagship)
+CT_gan_64x64.py         ct_gan_64x64 (--ARCH zoo)
+wgan_LSUN_Bedrooms128   wgan_lsun128
+CT_MNIST.py             ct_mnist_ssl
+CT_CIFAR.py             ct_cifar_ssl
+CT_CIFAR-10_TE.py       ct_cifar_ssl --temporal_ensembling true
+wgan_onehots.py         onehot_toys --which wgan
+onehot_autoencoder.py   onehot_toys --which ae
+=====================  ===========================================
+"""
+
+from . import (
+    common,
+    ct_cifar_ssl,
+    ct_gan_64x64,
+    ct_gan_cifar,
+    ct_gan_cifar_resnet,
+    ct_gan_mnist,
+    ct_mnist_ssl,
+    onehot_toys,
+    wgan_lsun128,
+)
+
+__all__ = [
+    "common", "ct_cifar_ssl", "ct_gan_64x64", "ct_gan_cifar",
+    "ct_gan_cifar_resnet", "ct_gan_mnist", "ct_mnist_ssl", "onehot_toys",
+    "wgan_lsun128",
+]

@@ -1,0 +1,168 @@
+"""Semi-supervised CT classifier, 4000-label CIFAR-10 (rebuild of
+CT_CIFAR.py), with optional temporal ensembling (rebuild of
+CT_CIFAR-10_TE.py via ``--temporal_ensembling true``).
+
+Key TPU redesign: the reference's per-epoch host Python augmentation loop
+(100k single-image crops, CT_CIFAR.py:203-265 — the pipeline bottleneck)
+becomes an on-device vectorized flip/crop *inside the jitted step*
+(ctgan_tpu.data.augment.random_crop_flip), preserving the two-independent-
+streams property the CT term needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import init_context, rng_context, split_params
+from ..data import cifar10
+from ..data.augment import random_crop_flip
+from ..losses.semisup import ema_targets_update
+from ..models import classifiers
+from ..train import SslConfig, data_dependent_init, make_ssl_trainer
+from ..utils import MetricLogger, save_checkpoint
+from .common import parse_config, setup_out_dir
+
+
+@dataclass(frozen=True)
+class Config:
+    seed: int = 2
+    seed_data: int = 2
+    count: int = 400            # labels per class -> 4000 (CT_CIFAR.py:25)
+    batch_size: int = 100
+    unlabeled_weight: float = 1.0
+    learning_rate: float = 3e-4
+    epochs: int = 1000
+    data_dir: str = ""
+    temporal_ensembling: bool = False
+    prediction_decay: float = 0.6   # CT_CIFAR-10_TE.py:23
+    LAMBDA_2: float = 1.0           # TE variant weight (TE:22); plain uses fixed weights
+    factor_M: float = 0.0
+    out_dir: str = "runs/ct_cifar_ssl"
+
+
+def main(argv=None, cfg: Config | None = None):
+    cfg = cfg or parse_config(Config, argv)
+    out_dir = setup_out_dir(cfg)
+    rng = np.random.default_rng(cfg.seed)
+    data_rng = np.random.default_rng(cfg.seed_data)
+
+    trainx_nchw, trainy = cifar10.load_normalized(cfg.data_dir or None, "train")
+    testx_nchw, testy = cifar10.load_normalized(cfg.data_dir or None, "test")
+    # NHWC for the on-device pipeline
+    trainx = trainx_nchw.transpose(0, 2, 3, 1)
+    testx = testx_nchw.transpose(0, 2, 3, 1)
+
+    inds = data_rng.permutation(len(trainx))
+    sx, sy = trainx[inds], trainy[inds]
+    txs, tys = [], []
+    for j in range(10):
+        txs.append(sx[sy == j][: cfg.count])
+        tys.append(sy[sy == j][: cfg.count])
+    txs, tys = np.concatenate(txs), np.concatenate(tys)
+
+    with init_context(seed=cfg.seed) as ctx:
+        with rng_context(jax.random.PRNGKey(cfg.seed)):
+            classifiers.cifar_ssl_classifier(jnp.zeros((2, 32, 32, 3)))
+            classifiers.cifar_ssl_generator(2)
+    disc, gen, rest = split_params(ctx.params, "Classifier", "Generator")
+    assert not rest
+    merged = data_dependent_init(
+        {**disc, **gen},
+        lambda: classifiers.cifar_ssl_classifier(jnp.asarray(trainx[:500]), dd_init=True),
+        jax.random.PRNGKey(cfg.seed),
+    )
+    disc = {k: v for k, v in merged.items() if k.startswith("Classifier")}
+
+    variant = "te" if cfg.temporal_ensembling else "cifar"
+    scfg = SslConfig(
+        variant=variant, unlabeled_weight=cfg.unlabeled_weight,
+        lr=cfg.learning_rate, lambda_2=cfg.LAMBDA_2, factor_m=cfg.factor_M,
+    )
+    init_state, raw_step_fn, test_fn = make_ssl_trainer(
+        classifiers.cifar_ssl_classifier, classifiers.cifar_ssl_generator, scfg
+    )
+    state = init_state(disc, gen)
+
+    def step_with_augment(state, x_lab, y, x_unl, x_unl2, targets, key):
+        """On-device augmentation: labeled stream + two independent
+        unlabeled streams (CT_CIFAR.py:203-265, vectorized)."""
+        k0, k1, k2, k3 = jax.random.split(jax.random.fold_in(key, state.step), 4)
+        x_lab = random_crop_flip(x_lab, k1)
+        x_unl = random_crop_flip(x_unl, k2)
+        x_unl2 = random_crop_flip(x_unl2, k3)
+        return raw_step_fn(state, x_lab, y, x_unl, x_unl2, targets, key)
+
+    jit_step = jax.jit(step_with_augment, donate_argnums=0)
+    jit_test = jax.jit(test_fn)
+    logger = MetricLogger(out_dir)
+    bs = cfg.batch_size
+    n = len(trainx)
+    nr_batches = n // bs
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # temporal-ensembling buffers (TE:177-180)
+    ensemble = np.zeros((n, 10), "float32")
+    ensemble2 = np.zeros((n, 128), "float32")
+    targets_np = np.zeros((n, 10), "float32")
+    targets2_np = np.zeros((n, 128), "float32")
+
+    for epoch in range(cfg.epochs):
+        reps = int(np.ceil(n / len(txs)))
+        lab_idx = np.concatenate([rng.permutation(len(txs)) for _ in range(reps)])[:n]
+        unl1 = rng.permutation(n)
+        unl2 = rng.permutation(n)
+
+        epoch_preds = np.zeros((n, 10), "float32")
+        epoch_preds2 = np.zeros((n, 128), "float32")
+        sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_gen": 0.0}
+        for t in range(nr_batches):
+            sl = slice(t * bs, (t + 1) * bs)
+            li = lab_idx[sl]
+            u1 = unl1[sl]
+            targets = None
+            if cfg.temporal_ensembling:
+                targets = (jnp.asarray(targets_np[u1]), jnp.asarray(targets2_np[u1]))
+            state, (metrics, probs, feats) = jit_step(
+                state,
+                jnp.asarray(txs[li]), jnp.asarray(tys[li]),
+                jnp.asarray(trainx[u1]),
+                jnp.asarray(trainx[unl2[sl]]),
+                targets, key,
+            )
+            if cfg.temporal_ensembling:
+                epoch_preds[u1] = np.asarray(probs)
+                epoch_preds2[u1] = np.asarray(feats)
+            for k in sums:
+                sums[k] += float(metrics[k])
+
+        if cfg.temporal_ensembling:
+            # bias-corrected EMA target update (TE:305-309)
+            ensemble, targets_np = map(np.asarray, ema_targets_update(
+                jnp.asarray(ensemble), jnp.asarray(epoch_preds), epoch,
+                decay=cfg.prediction_decay,
+            ))
+            ensemble2, targets2_np = map(np.asarray, ema_targets_update(
+                jnp.asarray(ensemble2), jnp.asarray(epoch_preds2), epoch,
+                decay=cfg.prediction_decay,
+            ))
+
+        test_err = float(np.mean([
+            float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
+            for i in range(0, len(testx) - bs + 1, bs)
+        ]))
+        for k, v in sums.items():
+            logger.plot(k, v / nr_batches)
+        logger.plot("test_err", test_err)
+        logger.tick()
+        logger.flush()
+        save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
+        save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+    return state
+
+
+if __name__ == "__main__":
+    main()

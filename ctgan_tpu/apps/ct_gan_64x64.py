@@ -1,0 +1,135 @@
+"""64x64 CT-GAN (rebuild of CT_gan_64x64.py).
+
+The architecture zoo is selectable by flag instead of the reference's
+comment-uncommenting menu (:41-72): ``--ARCH good|dcgan|fc|crippled|
+multiplicative|resnet101``.  Modes: wgan-ct / wgan-gp / wgan / dcgan / lsgan.
+Data: 64px image directory (small ImageNet layout) or synthetic fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import init_context, rng_context, split_params
+from ..data import images_dir, stack_batches
+from ..models import dcgan, fc, good64
+from ..train import GanConfig, LoopConfig, make_gan_trainer, train_loop
+from ..utils import MetricLogger
+from .common import parse_config, save_sample_grid, setup_out_dir
+
+OUTPUT_DIM = 64 * 64 * 3
+
+
+@dataclass(frozen=True)
+class Config:
+    MODE: str = "wgan-ct"
+    ARCH: str = "good"
+    DIM: int = 64
+    BATCH_SIZE: int = 64
+    CRITIC_ITERS: int = 5
+    LAMBDA: float = 10.0
+    LAMBDA_2: float = 2.0
+    Factor_M: float = 0.0
+    ITERS: int = 200000
+    DATA_DIR: str = ""
+    seed: int = 0
+    out_dir: str = "runs/ct_gan_64x64"
+    sample_every: int = 200
+    save_every: int = 1000
+
+
+def pick_arch(cfg: Config):
+    """The GeneratorAndDiscriminator() menu (CT_gan_64x64.py:41-72)."""
+    if cfg.ARCH == "good":
+        return (
+            partial(good64.good64_generator, dim=cfg.DIM),
+            lambda x: good64.good64_discriminator(x, cfg.DIM, mode=cfg.MODE),
+        )
+    if cfg.ARCH == "dcgan":
+        return (
+            partial(dcgan.dcgan64_generator, dim=cfg.DIM),
+            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM),
+        )
+    if cfg.ARCH == "crippled":
+        return (
+            partial(dcgan.crippled_dcgan64_generator, dim=cfg.DIM),
+            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM),
+        )
+    if cfg.ARCH == "fc":
+        return (
+            partial(fc.fc_generator, output_dim=OUTPUT_DIM),
+            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM),
+        )
+    if cfg.ARCH == "multiplicative":
+        return (
+            partial(dcgan.multiplicative_dcgan64_generator, dim=cfg.DIM),
+            partial(dcgan.multiplicative_dcgan64_discriminator, dim=cfg.DIM),
+        )
+    if cfg.ARCH == "resnet101":
+        return (
+            partial(good64.resnet101_64_generator, dim=cfg.DIM),
+            partial(good64.resnet101_64_discriminator, dim=cfg.DIM),
+        )
+    raise ValueError(f"unknown ARCH {cfg.ARCH!r}")
+
+
+def main(argv=None, cfg: Config | None = None):
+    cfg = cfg or parse_config(Config, argv)
+    out_dir = setup_out_dir(cfg)
+    gen_fn, disc_fn = pick_arch(cfg)
+
+    gcfg = GanConfig(
+        mode=cfg.MODE, batch_size=cfg.BATCH_SIZE, critic_iters=cfg.CRITIC_ITERS,
+        lambda_gp=cfg.LAMBDA, lambda_ct=cfg.LAMBDA_2, factor_m=cfg.Factor_M,
+        iters=cfg.ITERS,
+    )
+    init_state, step_fn, sample_fn, _ = make_gan_trainer(gen_fn, disc_fn, gcfg)
+    with init_context(seed=cfg.seed) as ctx:
+        with rng_context(jax.random.PRNGKey(cfg.seed)):
+            disc_fn(gen_fn(2))
+    gp, dp, rest = split_params(ctx.params, "Generator", "Discriminator")
+    assert not rest
+    state = init_state(gp, dp)
+
+    critic_iters = 1 if cfg.MODE == "dcgan" else cfg.CRITIC_ITERS
+    gen = images_dir.prefetch(
+        stack_batches(
+            images_dir.image_dir_generator(cfg.DATA_DIR or None, cfg.BATCH_SIZE, 64, seed=cfg.seed),
+            critic_iters,
+        )
+    )
+
+    def next_batch():
+        raw = next(gen)  # [K, B, 3, 64, 64] uint8
+        flat = raw.reshape(critic_iters, cfg.BATCH_SIZE, OUTPUT_DIM)
+        real = 2.0 * (flat.astype("float32") / 255.0 - 0.5)
+        return (jnp.asarray(real),)
+
+    fixed_noise = jnp.asarray(
+        np.random.default_rng(cfg.seed).normal(size=(64, 128)).astype("f4")
+    )
+    logger = MetricLogger(out_dir)
+    jit_sample = jax.jit(sample_fn)
+
+    def test_fn(state, iteration):
+        samples = jit_sample(state, fixed_noise, jax.random.PRNGKey(0))
+        save_sample_grid(samples, (3, 64, 64), f"{out_dir}/samples_{iteration}.png")
+        return {}
+
+    lcfg = LoopConfig(
+        iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
+        save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+    )
+    return train_loop(
+        state, step_fn, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,
+        logger=logger, test_fn=test_fn,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Conditional ResNet/ACGAN CT-GAN on CIFAR-10 — the flagship trainer
+(rebuild of CT_gan_cifar_resnet.py).
+
+Full 50k training set, linear LR decay, GEN_BS_MULTIPLE=2, IS(50k) every
+1000 iterations.  The reference's 2-GPU A/B graph split becomes one fused
+pjit step, data-parallel over all available devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import init_context, rng_context, split_params
+from ..data import DeviceSampler, cifar10
+from ..eval import TrainedScorer
+from ..models import resnet_cifar
+from ..parallel import shard_params
+from ..train import AcganConfig, LoopConfig, make_acgan_trainer, train_loop
+from ..core.store import format_param_table
+from ..utils import MetricLogger
+from .common import maybe_mesh, parse_config, save_sample_grid, setup_out_dir
+
+
+@dataclass(frozen=True)
+class Config:
+    LAMBDA_2: float = 2.0
+    Factor_M: float = 0.0
+    BATCH_SIZE: int = 64
+    GEN_BS_MULTIPLE: int = 2
+    ITERS: int = 100000
+    DIM_G: int = 128
+    DIM_D: int = 128
+    NORMALIZATION_G: bool = True
+    NORMALIZATION_D: bool = False
+    LR: float = 2e-4
+    DECAY: bool = True
+    N_CRITIC: int = 5
+    INCEPTION_FREQUENCY: int = 1000
+    CONDITIONAL: bool = True
+    ACGAN: bool = True
+    ACGAN_SCALE: float = 1.0
+    ACGAN_SCALE_G: float = 0.1
+    n_examples: int = 50000
+    DATA_DIR: str = ""
+    seed: int = 0
+    out_dir: str = "runs/ct_gan_cifar_resnet"
+    inception_samples: int = 50000
+    sample_every: int = 100
+    save_every: int = 1000
+
+
+def main(argv=None, cfg: Config | None = None):
+    cfg = cfg or parse_config(Config, argv)
+    out_dir = setup_out_dir(cfg)
+
+    mcfg = resnet_cifar.ResnetCifarConfig(
+        dim_g=cfg.DIM_G, dim_d=cfg.DIM_D,
+        conditional=cfg.CONDITIONAL, acgan=cfg.ACGAN,
+        normalization_g=cfg.NORMALIZATION_G, normalization_d=cfg.NORMALIZATION_D,
+    )
+    if cfg.CONDITIONAL and not cfg.ACGAN and not cfg.NORMALIZATION_D:
+        print("WARNING! Conditional model without normalization in D might be "
+              "effectively unconditional!")  # reference :60
+
+    def gen_fn(n, labels, noise=None):
+        return resnet_cifar.generator(n, labels, noise=noise, cfg=mcfg)
+
+    def disc_fn(x, labels, kp1, kp2, kp3):
+        return resnet_cifar.discriminator(x, labels, kp1, kp2, kp3, mcfg)
+
+    tcfg = AcganConfig(
+        batch_size=cfg.BATCH_SIZE, critic_iters=cfg.N_CRITIC,
+        lambda_ct=cfg.LAMBDA_2, factor_m=cfg.Factor_M,
+        lr=cfg.LR, iters=cfg.ITERS, decay=cfg.DECAY,
+        gen_bs_multiple=cfg.GEN_BS_MULTIPLE,
+        conditional=cfg.CONDITIONAL, acgan=cfg.ACGAN,
+        acgan_scale=cfg.ACGAN_SCALE, acgan_scale_g=cfg.ACGAN_SCALE_G,
+    )
+    init_state, step_fn, sample_fn, generate_fn = make_acgan_trainer(gen_fn, disc_fn, tcfg)
+
+    with init_context(seed=cfg.seed) as ctx:
+        with rng_context(jax.random.PRNGKey(cfg.seed)):
+            labels = jnp.zeros((2,), jnp.int32)
+            disc_fn(gen_fn(2, labels), labels, 0.8, 0.5, 0.5)
+    gparams, dparams, rest = split_params(ctx.params, "Generator", "Discriminator")
+    assert not rest
+    print(format_param_table(gparams, "G Params"))
+    print(format_param_table(dparams, "D Params"))
+
+    mesh = maybe_mesh()
+    if mesh is not None:
+        gparams = shard_params(mesh, gparams)
+        dparams = shard_params(mesh, dparams)
+    state = init_state(gparams, dparams)
+
+    data = cifar10.load_arrays(cfg.DATA_DIR or None, n_examples=cfg.n_examples)
+    sampler = DeviceSampler(
+        [data["train"][0].astype("int32"), data["train"][1].astype("int32")],
+        cfg.BATCH_SIZE, cfg.N_CRITIC, seed=cfg.seed,
+    )
+    dev_images, dev_labels = data["test"]
+
+    scorer = TrainedScorer(3, 32, cache_path=f"{out_dir}/scorer.npz")
+    if scorer.params is None:
+        print("training IS scorer on real data...")
+        scorer.fit(data["train"][0], data["train"][1], epochs=3)
+
+    fixed_noise = jnp.asarray(
+        np.random.default_rng(cfg.seed).normal(size=(100, 128)).astype("f4")
+    )
+    fixed_labels = jnp.asarray(np.array([0,1,2,3,4,5,6,7,8,9] * 10), jnp.int32)
+    logger = MetricLogger(out_dir)
+    jit_sample = jax.jit(sample_fn)
+    jit_generate = jax.jit(generate_fn, static_argnums=1)
+
+    def fused_step(state, step_idx, key):
+        real_stack, label_stack = sampler.sample(step_idx)
+        return step_fn(state, real_stack, label_stack, key)
+
+    counter = {"i": 0}
+
+    def next_batch():
+        i = counter["i"]
+        counter["i"] += 1
+        return (jnp.asarray(i),)
+
+    def test_fn(state, iteration):
+        metrics = {}
+        samples = jit_sample(state, fixed_noise, fixed_labels, jax.random.PRNGKey(0))
+        save_sample_grid(samples, (3, 32, 32), f"{out_dir}/samples_{iteration}.png")
+        if cfg.INCEPTION_FREQUENCY and iteration % cfg.INCEPTION_FREQUENCY == cfg.INCEPTION_FREQUENCY - 1:
+            outs = []
+            for i in range(0, cfg.inception_samples, 100):
+                flat, _ = jit_generate(state, 100, jax.random.PRNGKey(i))
+                outs.append(np.asarray(flat))
+            all_samples = ((np.concatenate(outs)[: cfg.inception_samples] + 1.0)
+                           * (255.99 / 2)).astype("int32")
+            m, s = scorer.inception_score(all_samples)
+            metrics["inception_50k"] = m
+            metrics["inception_50k_std"] = s
+            real_sub = dev_images[: min(len(dev_images), 10000)]
+            metrics["fid_10k"] = scorer.fid(real_sub, all_samples[: len(real_sub)])
+        return metrics
+
+    lcfg = LoopConfig(
+        iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
+        save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+    )
+    ctx_mgr = mesh if mesh is not None else _nullcontext()
+    with ctx_mgr:
+        state = train_loop(
+            state, fused_step, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,
+            logger=logger, test_fn=test_fn,
+            data_state=lambda: {"i": counter["i"]},
+            set_data_state=lambda s: counter.update(i=int(s["i"])),
+        )
+    return state
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()

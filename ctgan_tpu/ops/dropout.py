@@ -19,7 +19,16 @@ import jax.numpy as jnp
 
 from ..core import rng
 
-__all__ = ["dropout"]
+__all__ = ["dropout", "enable_pallas_dropout"]
+
+_USE_PALLAS = False
+
+
+def enable_pallas_dropout(enable: bool = True) -> None:
+    """Route static-rate dropout through the Pallas on-core PRNG kernel
+    (ctgan_tpu.kernels.dropout).  TPU-only; traced keep-probs fall back."""
+    global _USE_PALLAS
+    _USE_PALLAS = enable
 
 
 def dropout(
@@ -42,6 +51,11 @@ def dropout(
         return x
     if key is None:
         key = rng.next_key(stream)
+    if _USE_PALLAS and isinstance(keep_prob, (int, float)):
+        from ..kernels.dropout import pallas_dropout
+
+        seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+        return pallas_dropout(x, seed, float(keep_prob))
     kp = jnp.asarray(keep_prob, jnp.float32)
     # TF keeps where uniform + keep_prob >= 1, i.e. u < keep_prob.
     mask = jax.random.uniform(key, x.shape, jnp.float32) < kp
