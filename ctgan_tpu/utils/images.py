@@ -9,7 +9,45 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_grid", "save_images"]
+__all__ = ["make_grid", "save_images", "img_tile", "img_stretch"]
+
+
+def img_stretch(img: np.ndarray) -> np.ndarray:
+    """Stretch values to [0, 1] (Theano_classifier/plotting.py img_stretch)."""
+    img = np.asarray(img, dtype="float64")
+    lo, hi = img.min(), img.max()
+    if hi > lo:
+        img = (img - lo) / (hi - lo)
+    return img
+
+
+def img_tile(
+    imgs: np.ndarray,
+    *,
+    aspect_ratio: float = 1.0,
+    border: int = 1,
+    border_color: float = 0.0,
+    stretch: bool = False,
+) -> np.ndarray:
+    """Tile [N, H, W(, C)] images with borders
+    (Theano_classifier/plotting.py:7-58)."""
+    imgs = np.asarray(imgs, dtype="float64")
+    if stretch:
+        imgs = img_stretch(imgs)
+    n = len(imgs)
+    tile_h = int(np.ceil(np.sqrt(n * aspect_ratio)))
+    tile_w = int(np.ceil(n / tile_h))
+    h, w = imgs.shape[1:3]
+    extra = imgs.shape[3:]
+    out = np.full(
+        (tile_h * h + (tile_h - 1) * border, tile_w * w + (tile_w - 1) * border) + extra,
+        border_color,
+    )
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, tile_w)
+        y, x = r * (h + border), c * (w + border)
+        out[y : y + h, x : x + w] = im
+    return out
 
 
 def make_grid(x: np.ndarray) -> np.ndarray:
