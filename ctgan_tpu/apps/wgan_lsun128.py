@@ -34,6 +34,7 @@ class Config:
     DIM_G_4: int = 1024
     DIM_D_8: int = 1024
     DATA_DIR: str = ""
+    REMAT: bool = True   # rematerialize the D forward (128px model)
     seed: int = 0
     out_dir: str = "runs/wgan_lsun128"
     sample_every: int = 200
@@ -55,7 +56,7 @@ def main(argv=None, cfg: Config | None = None):
     gcfg = GanConfig(
         mode="wgan-CT", batch_size=cfg.BATCH_SIZE, critic_iters=cfg.CRITIC_ITERS,
         lambda_ct=cfg.LAMBDA_2, factor_m=cfg.Factor_M, lr=cfg.LR,
-        lr_decay=cfg.DECAY, iters=cfg.ITERS, beta1=0.0,
+        lr_decay=cfg.DECAY, iters=cfg.ITERS, beta1=0.0, remat=cfg.REMAT,
     )
     init_state, step_fn, sample_fn, _ = make_gan_trainer(gen_fn, disc_fn, gcfg)
     with init_context(seed=cfg.seed) as ctx:

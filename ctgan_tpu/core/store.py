@@ -187,13 +187,16 @@ def param(name: str, init_fn: Callable[[], np.ndarray]) -> jax.Array:
 
 
 def state(name: str, init_fn: Callable[[], np.ndarray]) -> jax.Array:
-    """Create-or-fetch non-trainable state (e.g. BN moving statistics)."""
+    """Create-or-fetch non-trainable state (e.g. BN moving statistics).
+
+    Unlike ``param``, missing state is created even in apply contexts —
+    recalibration sweeps legitimately start from empty statistics
+    (train_loop_2.py:236-254), and state is bookkeeping, not learnable.
+    """
     ctx = current_context()
     full = ctx.resolve(_full_name(name))
     if full in ctx.state:
         return ctx.state[full]
-    if not ctx.create:
-        raise KeyError(f"State {full!r} not found in apply context.")
     ctx.state[full] = jax.numpy.asarray(np.asarray(init_fn()))
     return ctx.state[full]
 

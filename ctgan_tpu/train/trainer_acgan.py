@@ -58,6 +58,7 @@ class AcganConfig:
     acgan_scale: float = 1.0        # ACGAN_SCALE (:57)
     acgan_scale_g: float = 0.1      # ACGAN_SCALE_G (:58)
     kp: tuple = (0.8, 0.5, 0.5)     # dropout keep probs (:232)
+    remat: bool = False             # jax.checkpoint the D forward
 
 
 class AcganState(NamedTuple):
@@ -77,6 +78,8 @@ def make_acgan_trainer(
     gen_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
     disc_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
     kp1, kp2, kp3 = cfg.kp
+    if cfg.remat:
+        disc_fn = jax.checkpoint(disc_fn, static_argnums=(2, 3, 4))
 
     def _rand_labels(key, n):
         # tf.cast(tf.random_uniform([n])*10, tf.int32) (:317)

@@ -56,6 +56,9 @@ class GanConfig:
     lr_decay: bool = False         # linear decay (resnet trainer)
     clip_value: float = 0.01       # wgan weight clip (CT_gan_mnist.py:141)
     gen_bs_multiple: int = 1       # GEN_BS_MULTIPLE (resnet trainer)
+    remat: bool = False            # jax.checkpoint the D forward (HBM vs FLOPs
+                                   # for 128px models; replaces the reference's
+                                   # A/B-split memory workaround)
 
 
 class GANState(NamedTuple):
@@ -94,6 +97,8 @@ def make_gan_trainer(
     gen_optimizer, disc_optimizer = _make_optimizers(cfg)
     is_ct = cfg.mode in ("wgan-CT", "wgan-ct")
     is_gp = is_ct or cfg.mode == "wgan-gp"
+    if cfg.remat:
+        disc_fn = jax.checkpoint(disc_fn)
 
     # ---------------------------------------------------------- losses
 
