@@ -47,6 +47,11 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     default_tpu_policy(enable_bf16=on_tpu)
+    if on_tpu:
+        # Pallas on-core-PRNG dropout: +10% step time vs jax.random threefry
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
 
     cfg_model = resnet_cifar.ResnetCifarConfig(dim_g=DIM, dim_d=DIM)
     cfg = AcganConfig(batch_size=BATCH, critic_iters=CRITIC_ITERS, iters=100000)

@@ -6,6 +6,11 @@ import pytest
 
 import jax
 
+# Heavy app tests compile multiple full training programs; on a single-core
+# CPU that is ~40 minutes total, so everything beyond the MNIST apps is
+# gated behind -m slow (run explicitly: pytest -m slow).
+slow = pytest.mark.slow
+
 
 def test_mnist_app(tmp_path):
     from ctgan_tpu.apps.ct_gan_mnist import Config, main
@@ -31,6 +36,7 @@ def test_mnist_app_resume(tmp_path):
     assert int(state.step) == 4
 
 
+@slow
 def test_cifar_app(tmp_path):
     from ctgan_tpu.apps.ct_gan_cifar import Config, main
 
@@ -41,6 +47,7 @@ def test_cifar_app(tmp_path):
     assert os.path.exists(tmp_path / "disc_params.npz")
 
 
+@slow
 def test_resnet_app(tmp_path):
     from ctgan_tpu.apps.ct_gan_cifar_resnet import Config, main
 
@@ -51,6 +58,7 @@ def test_resnet_app(tmp_path):
     assert int(state.step) == 2
 
 
+@slow
 @pytest.mark.parametrize("arch", ["good", "dcgan", "fc"])
 def test_64x64_app(tmp_path, arch):
     from ctgan_tpu.apps.ct_gan_64x64 import Config, main
@@ -61,6 +69,7 @@ def test_64x64_app(tmp_path, arch):
     assert int(state.step) == 2
 
 
+@slow
 def test_lsun128_app(tmp_path):
     from ctgan_tpu.apps.wgan_lsun128 import Config, main
 
@@ -70,6 +79,7 @@ def test_lsun128_app(tmp_path):
     assert int(state.step) == 2
 
 
+@slow
 def test_mnist_ssl_app(tmp_path, monkeypatch):
     import ctgan_tpu.data.mnist as mnist_mod
     from ctgan_tpu.apps.ct_mnist_ssl import Config, main
@@ -89,6 +99,7 @@ def test_mnist_ssl_app(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "disc_params.npz")
 
 
+@slow
 def test_cifar_ssl_app(tmp_path, monkeypatch):
     import ctgan_tpu.data.cifar10 as cifar_mod
     from ctgan_tpu.apps.ct_cifar_ssl import Config, main
