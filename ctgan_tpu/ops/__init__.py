@@ -18,6 +18,7 @@ from .conv import conv1d, conv2d, deconv2d, separable_conv2d
 from .dropout import dropout
 from .embedding import embedding
 from .linear import linear
+from .lsuv import lsuv_init
 from .minibatch import minibatch_discrimination
 from .mlp import mlp
 from .noise import gaussian_noise
@@ -42,5 +43,5 @@ __all__ = [
     "layernorm", "depth_to_space", "global_mean_pool", "mean_pool",
     "space_to_depth", "upsample_nearest", "gru", "gru_step", "rnn", "rnn_step",
     "kl_gaussian_gaussian", "kl_unit_gaussian",
-    "l2_dense", "wn_conv2d", "wn_deconv2d", "wn_dense",
+    "l2_dense", "wn_conv2d", "wn_deconv2d", "wn_dense", "lsuv_init",
 ]

@@ -2,6 +2,7 @@
 
 from . import optim, schedules
 from .loop import LoopConfig, train_loop
+from .recalibrate import recalibrate_bn
 from .trainer_acgan import AcganConfig, AcganState, make_acgan_trainer
 from .trainer_gan import GanConfig, GANState, make_gan_trainer
 from .trainer_semisup import SslConfig, SslState, make_ssl_trainer
@@ -10,6 +11,6 @@ from .wn_init import data_dependent_init
 __all__ = [
     "optim", "schedules", "LoopConfig", "train_loop",
     "AcganConfig", "AcganState", "make_acgan_trainer",
-    "GanConfig", "GANState", "make_gan_trainer",
+    "GanConfig", "GANState", "make_gan_trainer", "recalibrate_bn",
     "SslConfig", "SslState", "make_ssl_trainer", "data_dependent_init",
 ]
