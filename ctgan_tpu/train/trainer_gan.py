@@ -20,9 +20,8 @@ Modes: ``wgan-CT`` (CT+GP, Adam), ``wgan-gp`` (GP only), ``wgan``
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, NamedTuple
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
