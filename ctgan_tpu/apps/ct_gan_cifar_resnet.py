@@ -46,6 +46,8 @@ class Config:
     ACGAN_SCALE_G: float = 0.1
     n_examples: int = 50000
     DATA_DIR: str = ""
+    BF16: bool = True            # bf16 conv/matmul compute on TPU
+    PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
     seed: int = 0
     out_dir: str = "runs/ct_gan_cifar_resnet"
     inception_samples: int = 50000
@@ -56,6 +58,16 @@ class Config:
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
     out_dir = setup_out_dir(cfg)
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and cfg.BF16:
+        from ctgan_tpu.core import default_tpu_policy
+
+        default_tpu_policy(enable_bf16=True)
+    if on_tpu and cfg.PALLAS_DROPOUT:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
 
     mcfg = resnet_cifar.ResnetCifarConfig(
         dim_g=cfg.DIM_G, dim_d=cfg.DIM_D,
