@@ -19,6 +19,7 @@ onehot_autoencoder.py   onehot_toys --which ae
 
 from . import (
     common,
+    generate,
     ct_cifar_ssl,
     ct_gan_64x64,
     ct_gan_cifar,
@@ -30,7 +31,7 @@ from . import (
 )
 
 __all__ = [
-    "common", "ct_cifar_ssl", "ct_gan_64x64", "ct_gan_cifar",
+    "common", "generate", "ct_cifar_ssl", "ct_gan_64x64", "ct_gan_cifar",
     "ct_gan_cifar_resnet", "ct_gan_mnist", "ct_mnist_ssl", "onehot_toys",
     "wgan_lsun128",
 ]

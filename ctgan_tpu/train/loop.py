@@ -42,6 +42,9 @@ class LoopConfig:
     resume: bool = True
     profile_iter: int | None = None  # Chrome-trace at iter N (train_loop.py:69-83)
     profile_dir: str = "/tmp/ctgan_trace"
+    nan_check_every: int | None = 100  # failure detection: halt on non-finite
+                                       # metrics (analogue of debug-mode NaN
+                                       # checks, SURVEY §5)
 
 
 def train_loop(
@@ -85,6 +88,10 @@ def train_loop(
 
         for name, val in metrics.items():
             logger.plot(name, val)
+        if cfg.nan_check_every and iteration % cfg.nan_check_every == 0:
+            from ..utils.debug import assert_finite
+
+            assert_finite(metrics, f"metrics at iteration {iteration}")
         total, data_t = timer.lap()
         logger.plot("time", total)
         logger.plot("data time", data_t)
