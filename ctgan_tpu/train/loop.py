@@ -10,8 +10,9 @@ Differences by design:
   atomic checkpoint (utils.checkpoint) — no generator fast-forward replay
   (train_loop_2.py:131-139) and no corrupt-checkpoint window
   (train_loop_2.py:172-175).
-* Time-based scheduling (``print_every_secs``) is supported like v1's
-  ``*_every_secs`` knobs.
+* Time-based scheduling (``print_every_secs``/``save_every_secs``) mirrors
+  v1's ``*_every_secs`` knobs (train_loop.py:137-204) alongside the
+  iteration-based cadence.
 """
 
 from __future__ import annotations
@@ -45,6 +46,8 @@ class LoopConfig:
     nan_check_every: int | None = 100  # failure detection: halt on non-finite
                                        # metrics (analogue of debug-mode NaN
                                        # checks, SURVEY §5)
+    print_every_secs: float | None = None  # v1-style wall-clock cadence
+    save_every_secs: float | None = None
 
 
 def train_loop(
@@ -76,6 +79,8 @@ def train_loop(
             print(f"resumed from {path} at iteration {start_iter}")
 
     timer = StepTimer()
+    last_print = time.time()
+    last_save = time.time()
     for iteration in range(start_iter, cfg.iters):
         with timer.data():
             batch = next_batch()
@@ -103,7 +108,13 @@ def train_loop(
         if callback and cfg.test_every and iteration % cfg.test_every == cfg.test_every - 1:
             callback(state, iteration)
 
-        if cfg.ckpt_dir and cfg.save_every and iteration % cfg.save_every == cfg.save_every - 1:
+        save_now = bool(
+            cfg.save_every and iteration % cfg.save_every == cfg.save_every - 1
+        )
+        if cfg.save_every_secs and time.time() - last_save >= cfg.save_every_secs:
+            save_now = True
+        if cfg.ckpt_dir and save_now:
+            last_save = time.time()
             blob = {
                 "state": state._asdict() if hasattr(state, "_asdict") else state,
                 "loop": {"iteration": iteration + 1},
@@ -111,7 +122,14 @@ def train_loop(
             }
             save_checkpoint(os.path.join(cfg.ckpt_dir, f"ckpt_{iteration + 1}.npz"), blob)
 
-        if iteration < cfg.print_first or iteration % cfg.print_every == cfg.print_every - 1:
+        print_now = (
+            iteration < cfg.print_first
+            or iteration % cfg.print_every == cfg.print_every - 1
+        )
+        if cfg.print_every_secs and time.time() - last_print >= cfg.print_every_secs:
+            print_now = True
+        if print_now:
+            last_print = time.time()
             logger.flush()
         logger.tick()
 

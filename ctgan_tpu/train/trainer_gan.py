@@ -58,6 +58,8 @@ class GanConfig:
     remat: bool = False            # jax.checkpoint the D forward (HBM vs FLOPs
                                    # for 128px models; replaces the reference's
                                    # A/B-split memory workaround)
+    clip_global_norm: float | None = None  # train_loop_2-style grad clip 5.0
+    clip_grad_value: float | None = None   # train_loop v1 per-element clip
 
 
 class GANState(NamedTuple):
@@ -185,6 +187,13 @@ def make_gan_trainer(
             (cost, metrics), grads = disc_grad(
                 disc_params, gen_params, real, jax.random.fold_in(key, i)
             )
+            if cfg.clip_grad_value is not None:
+                grads = optim.clip_grads_by_value(grads, cfg.clip_grad_value)
+            if cfg.clip_global_norm is not None:
+                grads, gradnorm = optim.clip_grads_by_global_norm(
+                    grads, cfg.clip_global_norm
+                )
+                metrics["gradnorm"] = gradnorm
             disc_params, disc_opt = disc_optimizer.update(
                 grads, disc_opt, disc_params, state.step
             )
