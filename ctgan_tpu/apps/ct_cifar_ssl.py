@@ -82,7 +82,7 @@ def main(argv=None, cfg: Config | None = None):
         variant=variant, unlabeled_weight=cfg.unlabeled_weight,
         lr=cfg.learning_rate, lambda_2=cfg.LAMBDA_2, factor_m=cfg.factor_M,
     )
-    init_state, raw_step_fn, test_fn = make_ssl_trainer(
+    init_state, raw_step_fn, test_fn, multi_step_fn = make_ssl_trainer(
         classifiers.cifar_ssl_classifier, classifiers.cifar_ssl_generator, scfg
     )
     state = init_state(disc, gen)

@@ -78,17 +78,24 @@ def main(argv=None, cfg: Config | None = None):
         variant="mnist", unlabeled_weight=cfg.unlabeled_weight,
         lr=cfg.learning_rate, lambda_2=cfg.LAMBDA_2, factor_m=cfg.factor_M,
     )
-    init_state, step_fn, test_fn = make_ssl_trainer(
+    init_state, step_fn, test_fn, multi_step_fn = make_ssl_trainer(
         classifiers.mnist_ssl_classifier, classifiers.mnist_ssl_generator, scfg
     )
     state = init_state(disc, gen)
-    jit_step = jax.jit(step_fn, donate_argnums=0)
+    # whole-epoch chunks through the scanned multi-step: one device dispatch
+    # per CHUNK batches instead of one per batch
+    CHUNK = 50
+    jit_multi = jax.jit(multi_step_fn, donate_argnums=0)
     jit_test = jax.jit(test_fn)
 
     logger = MetricLogger(out_dir)
     bs = cfg.batch_size
     nr_batches = len(trainx) // bs
     key = jax.random.PRNGKey(cfg.seed)
+
+    def stack(arr, idx, t0, t1):
+        sel = idx[t0 * bs : t1 * bs]
+        return jnp.asarray(arr[sel].reshape(t1 - t0, bs, *arr.shape[1:]))
 
     for epoch in range(cfg.epochs):
         # tiled shuffled labeled stream (:145-152) + two unlabeled streams
@@ -98,23 +105,27 @@ def main(argv=None, cfg: Config | None = None):
         unl2 = rng.permutation(len(trainx))
 
         sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_ct": 0.0}
-        for t in range(nr_batches):
-            li = lab_idx[t * bs : (t + 1) * bs]
-            state, (metrics, _, _) = jit_step(
+        n_chunks = 0
+        for t0 in range(0, nr_batches, CHUNK):
+            t1 = min(t0 + CHUNK, nr_batches)
+            if t1 - t0 != CHUNK and t0 > 0:
+                break  # drop ragged tail chunk (avoids a second compile)
+            state, (metrics, _, _) = jit_multi(
                 state,
-                jnp.asarray(txs[li]), jnp.asarray(tys[li]),
-                jnp.asarray(trainx[unl1[t * bs : (t + 1) * bs]]),
-                jnp.asarray(trainx[unl2[t * bs : (t + 1) * bs]]),
+                stack(txs, lab_idx, t0, t1), stack(tys, lab_idx, t0, t1),
+                stack(trainx, unl1, t0, t1), stack(trainx, unl2, t0, t1),
                 None, key,
             )
+            n_chunks += 1
             for k in sums:
                 sums[k] += float(metrics[k])
+        nr_batches_eff = n_chunks
         test_err = float(np.mean([
             float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
             for i in range(0, len(testx) - bs + 1, bs)
         ]))
         for k, v in sums.items():
-            logger.plot(k, v / nr_batches)
+            logger.plot(k, v / max(nr_batches_eff, 1))
         logger.plot("test_err", test_err)
         logger.tick()
         logger.flush()

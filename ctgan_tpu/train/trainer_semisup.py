@@ -153,6 +153,36 @@ def make_ssl_trainer(
         )
         return new_state, (metrics, unl_probs, unl_feats)
 
+    def multi_step_fn(state: SslState, x_lab_s, labels_s, x_unl_s, x_unl2_s, targets_s, base_key):
+        """Scan ``step_fn`` over T stacked batches — one device dispatch for a
+        whole chunk of the epoch (the reference paid a Theano function call
+        per batch; on TPU per-call latency would dominate these small
+        classifier steps).
+
+        Stacked shapes: x_lab_s [T,B,...], labels_s [T,B], x_unl_s/x_unl2_s
+        [T,B,...], targets_s None or (probs [T,B,10], feats [T,B,F]).
+        Returns (state, (metrics averaged over T, probs [T,B,10], feats)).
+        """
+
+        def body(st, inp):
+            if targets_s is None:
+                xl, yl, xu, xu2 = inp
+                tg = None
+            else:
+                xl, yl, xu, xu2, tp, tf = inp
+                tg = (tp, tf)
+            st, (metrics, probs, feats) = step_fn(st, xl, yl, xu, xu2, tg, base_key)
+            return st, (metrics, probs, feats)
+
+        xs = (
+            (x_lab_s, labels_s, x_unl_s, x_unl2_s)
+            if targets_s is None
+            else (x_lab_s, labels_s, x_unl_s, x_unl2_s, targets_s[0], targets_s[1])
+        )
+        state, (mstack, probs, feats) = jax.lax.scan(body, state, xs)
+        metrics = {k: jnp.mean(v) for k, v in mstack.items()}
+        return state, (metrics, probs, feats)
+
     def test_fn(state: SslState, x, labels):
         """Error with EMA-averaged params, deterministic passes
         (CT_MNIST.py:106-112 disc_avg_givens + deterministic=True)."""
@@ -172,4 +202,4 @@ def make_ssl_trainer(
             step=jnp.zeros((), jnp.int32),
         )
 
-    return init_state, step_fn, test_fn
+    return init_state, step_fn, test_fn, multi_step_fn

@@ -46,7 +46,7 @@ def test_ssl_training_reduces_error():
     (tr_x, tr_y), _, _ = synthetic_mnist(n_train=600, n_valid=1, n_test=1)
 
     cfg = SslConfig(variant="mnist", lr=0.003)
-    init_state, step_fn, test_fn = make_ssl_trainer(
+    init_state, step_fn, test_fn, multi_step_fn = make_ssl_trainer(
         classifiers.mnist_ssl_classifier,
         classifiers.mnist_ssl_generator,
         cfg,
@@ -82,7 +82,7 @@ def test_ssl_training_reduces_error():
 def test_te_variant_runs():
     disc, gen = _init_mnist_ssl()
     cfg = SslConfig(variant="te", lambda_2=1.0)
-    init_state, step_fn, test_fn = make_ssl_trainer(
+    init_state, step_fn, test_fn, multi_step_fn = make_ssl_trainer(
         classifiers.mnist_ssl_classifier, classifiers.mnist_ssl_generator, cfg
     )
     state = init_state(disc, gen)
@@ -100,7 +100,7 @@ def test_te_variant_runs():
 def test_test_fn_uses_avg_params():
     disc, gen = _init_mnist_ssl()
     cfg = SslConfig()
-    init_state, step_fn, test_fn = make_ssl_trainer(
+    init_state, step_fn, test_fn, multi_step_fn = make_ssl_trainer(
         classifiers.mnist_ssl_classifier, classifiers.mnist_ssl_generator, cfg
     )
     state = init_state(disc, gen)
