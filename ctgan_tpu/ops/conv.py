@@ -38,6 +38,11 @@ def _ar_mask(filter_size: int, input_dim: int, output_dim: int, mask_type: str, 
 
 
 def _weightnormed(name: str, filters: jax.Array, axis_reduce) -> jax.Array:
+    """Scale filters so each output channel's norm is the learned g.
+
+    ``axis_reduce`` are the reduced axes; the ratio is broadcast back along
+    the remaining (output-channel) axis wherever it sits in the layout.
+    """
     f_init = filters
 
     def make_g():
@@ -47,7 +52,11 @@ def _weightnormed(name: str, filters: jax.Array, axis_reduce) -> jax.Array:
 
     target_norms = store.param(name + ".g", make_g)
     norms = jnp.sqrt(jnp.sum(jnp.square(filters), axis=axis_reduce))
-    return filters * (target_norms / norms)
+    ratio = target_norms / norms
+    shape = [1] * filters.ndim
+    (out_axis,) = [d for d in range(filters.ndim) if d not in axis_reduce]
+    shape[out_axis] = filters.shape[out_axis]
+    return filters * ratio.reshape(shape)
 
 
 def conv2d(
