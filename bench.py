@@ -62,7 +62,7 @@ def main() -> None:
     def disc_fn(x, labels, kp1, kp2, kp3):
         return resnet_cifar.discriminator(x, labels, kp1, kp2, kp3, cfg_model)
 
-    init_state, step_fn, _s, _g = make_acgan_trainer(gen_fn, disc_fn, cfg)
+    init_state, step_fn, _s, _g, _d = make_acgan_trainer(gen_fn, disc_fn, cfg)
     gen_params, disc_params = _init_flagship(cfg_model)
     state = init_state(gen_params, disc_params)
 

@@ -92,7 +92,7 @@ def main(argv=None, cfg: Config | None = None):
         conditional=cfg.CONDITIONAL, acgan=cfg.ACGAN,
         acgan_scale=cfg.ACGAN_SCALE, acgan_scale_g=cfg.ACGAN_SCALE_G,
     )
-    init_state, step_fn, sample_fn, generate_fn = make_acgan_trainer(gen_fn, disc_fn, tcfg)
+    init_state, step_fn, sample_fn, generate_fn, dev_cost_fn = make_acgan_trainer(gen_fn, disc_fn, tcfg)
 
     with init_context(seed=cfg.seed) as ctx:
         with rng_context(jax.random.PRNGKey(cfg.seed)):
@@ -128,6 +128,7 @@ def main(argv=None, cfg: Config | None = None):
     logger = MetricLogger(out_dir)
     jit_sample = jax.jit(sample_fn)
     jit_generate = jax.jit(generate_fn, static_argnums=1)
+    jit_dev_cost = jax.jit(dev_cost_fn)
 
     def fused_step(state, step_idx, key):
         real_stack, label_stack = sampler.sample(step_idx)
@@ -142,6 +143,16 @@ def main(argv=None, cfg: Config | None = None):
 
     def test_fn(state, iteration):
         metrics = {}
+        costs = [
+            float(jit_dev_cost(
+                state,
+                jnp.asarray(dev_images[i : i + cfg.BATCH_SIZE], jnp.int32),
+                jnp.asarray(dev_labels[i : i + cfg.BATCH_SIZE], jnp.int32),
+                jax.random.PRNGKey(i),
+            ))
+            for i in range(0, cfg.BATCH_SIZE * 10, cfg.BATCH_SIZE)
+        ]
+        metrics["dev_cost"] = float(np.mean(costs))
         samples = jit_sample(state, fixed_noise, fixed_labels, jax.random.PRNGKey(0))
         save_sample_grid(samples, (3, 32, 32), f"{out_dir}/samples_{iteration}.png")
         if cfg.INCEPTION_FREQUENCY and iteration % cfg.INCEPTION_FREQUENCY == cfg.INCEPTION_FREQUENCY - 1:

@@ -182,6 +182,19 @@ def make_acgan_trainer(
         metrics["gen_cost"] = g_cost
         return AcganState(gen_params, disc_params, gen_opt, disc_opt, state.step + 1), metrics
 
+    def dev_cost_fn(state: AcganState, real_int, labels, key):
+        """Discriminator cost on a dev batch (the reference's dev_cost
+        metric, CT_gan_cifar_resnet.py:421-428).  Takes raw uint8-valued
+        pixels; dequantization matches the train path."""
+        real = 2.0 * (real_int.astype(jnp.float32) / 256.0 - 0.5)
+        real = real + jax.random.uniform(
+            jax.random.fold_in(key, 9), real.shape, maxval=1.0 / 128
+        )
+        cost, _metrics = disc_loss(
+            state.disc_params, state.gen_params, real, labels, key
+        )
+        return cost
+
     def sample_fn(state: AcganState, noise, labels, key):
         with rng_context({"default": key}):
             with apply_context(state.gen_params):
@@ -201,4 +214,4 @@ def make_acgan_trainer(
             jnp.zeros((), jnp.int32),
         )
 
-    return init_state, step_fn, sample_fn, generate_fn
+    return init_state, step_fn, sample_fn, generate_fn, dev_cost_fn
