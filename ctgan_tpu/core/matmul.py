@@ -2,10 +2,17 @@
 
 In bf16 mode both operands are cast to bf16 and the op runs without
 ``preferred_element_type`` (the TPU MXU accumulates bf16 inputs in fp32
-internally); the result is cast back to fp32 so reductions and losses stay
-full precision.  Avoiding ``preferred_element_type`` keeps the autodiff
+internally).  Avoiding ``preferred_element_type`` keeps the autodiff
 transpose rules dtype-consistent — with it, the f32 cotangent meets bf16
 filters inside the gradient conv and XLA rejects the mixed dtypes.
+
+Output dtype is governed by the *activation* policy: the flagship step is
+HBM-bandwidth-bound (tools/cost_analysis.py: ~0.96 TFLOP but 17.5 GB
+accessed per iteration at fp32 accounting), so casting every conv output
+back to fp32 doubles the activation traffic for no accuracy benefit — norm
+layers already compute their statistics in fp32 internally and losses upcast
+at the reduction.  ``keep_bf16_activations(True)`` (the default under the
+bf16 policy) returns bf16; pass False to restore fp32 returns.
 """
 
 from __future__ import annotations
@@ -15,14 +22,25 @@ import jax.numpy as jnp
 
 from .precision import compute_dtype
 
-__all__ = ["matmul", "conv", "conv_transpose"]
+__all__ = ["matmul", "conv", "conv_transpose", "keep_bf16_activations"]
+
+_KEEP_BF16_ACT = True
+
+
+def keep_bf16_activations(enable: bool) -> None:
+    global _KEEP_BF16_ACT
+    _KEEP_BF16_ACT = enable
+
+
+def _out_dtype(dt):
+    return dt if _KEEP_BF16_ACT else jnp.float32
 
 
 def matmul(x: jax.Array, w: jax.Array) -> jax.Array:
     dt = compute_dtype()
     if dt == jnp.float32:
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return jnp.dot(x.astype(dt), w.astype(dt)).astype(jnp.float32)
+    return jnp.dot(x.astype(dt), w.astype(dt)).astype(_out_dtype(dt))
 
 
 def conv(x, filters, *, window_strides, padding, dimension_numbers, feature_group_count=1):
@@ -41,7 +59,7 @@ def conv(x, filters, *, window_strides, padding, dimension_numbers, feature_grou
         dimension_numbers=dimension_numbers,
         feature_group_count=feature_group_count,
     )
-    return out.astype(jnp.float32)
+    return out.astype(_out_dtype(dt))
 
 
 def conv_transpose(x, filters, *, strides, padding, dimension_numbers):
@@ -56,4 +74,4 @@ def conv_transpose(x, filters, *, strides, padding, dimension_numbers):
         x.astype(dt), filters.astype(dt), strides=strides, padding=padding,
         dimension_numbers=dimension_numbers, transpose_kernel=True,
     )
-    return out.astype(jnp.float32)
+    return out.astype(_out_dtype(dt))

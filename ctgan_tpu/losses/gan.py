@@ -38,7 +38,10 @@ DiscFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 
 def wgan_losses(d_real: jax.Array, d_fake: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(gen_cost, disc_cost) for the Wasserstein objective
-    (CT_gan_cifar.py:125-126)."""
+    (CT_gan_cifar.py:125-126).  Reductions in fp32 regardless of the
+    activation dtype."""
+    d_real = d_real.astype(jnp.float32)
+    d_fake = d_fake.astype(jnp.float32)
     gen_cost = -jnp.mean(d_fake)
     disc_cost = jnp.mean(d_fake) - jnp.mean(d_real)
     return gen_cost, disc_cost
@@ -57,6 +60,10 @@ def consistency_term(
     """CT = mean(max(λ2·(D−D')² + 0.1·λ2·mean((D_−D_')², axis=1) − M, 0))
     (CT_gan_cifar.py:131-134).  The two inputs must come from two passes over
     the *same* examples and weights with independent dropout draws."""
+    d_real = d_real.astype(jnp.float32)
+    d_real_2 = d_real_2.astype(jnp.float32)
+    feat_real = feat_real.astype(jnp.float32)
+    feat_real_2 = feat_real_2.astype(jnp.float32)
     ct = lambda_2 * jnp.square(d_real - d_real_2)
     ct = ct + lambda_2 * feature_weight * jnp.mean(
         jnp.square(feat_real - feat_real_2), axis=1
@@ -85,9 +92,10 @@ def gradient_penalty(
 
     def scalar_d(x):
         # sum trick: rows of the gradient are per-example input gradients
-        return jnp.sum(disc_fn(x)[0])
+        return jnp.sum(disc_fn(x)[0].astype(jnp.float32))
 
     grads = jax.grad(scalar_d)(interpolates)
+    grads = grads.astype(jnp.float32)
     slopes = jnp.sqrt(jnp.sum(jnp.square(grads), axis=tuple(range(1, grads.ndim))) + 1e-12)
     gp = jnp.mean(jnp.square(slopes - target))
     return gp, slopes
@@ -98,14 +106,17 @@ def input_slopes(disc_fn: DiscFn, x: jax.Array) -> jax.Array:
     (CT_gan_cifar.py:140-149, 'slope_real' metric)."""
 
     def scalar_d(v):
-        return jnp.sum(disc_fn(v)[0])
+        return jnp.sum(disc_fn(v)[0].astype(jnp.float32))
 
     grads = jax.grad(scalar_d)(x)
+    grads = grads.astype(jnp.float32)
     return jnp.sqrt(jnp.sum(jnp.square(grads), axis=tuple(range(1, grads.ndim))) + 1e-12)
 
 
 def _sigmoid_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """tf.nn.sigmoid_cross_entropy_with_logits."""
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
@@ -119,6 +130,8 @@ def dcgan_losses(d_real: jax.Array, d_fake: jax.Array) -> tuple[jax.Array, jax.A
 
 def lsgan_losses(d_real: jax.Array, d_fake: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Least-squares GAN (CT_gan_64x64.py lsgan branch)."""
+    d_real = d_real.astype(jnp.float32)
+    d_fake = d_fake.astype(jnp.float32)
     gen_cost = jnp.mean(jnp.square(d_fake - 1.0))
     disc_cost = (jnp.mean(jnp.square(d_fake)) + jnp.mean(jnp.square(d_real - 1.0))) / 2.0
     return gen_cost, disc_cost
@@ -126,7 +139,7 @@ def lsgan_losses(d_real: jax.Array, d_fake: jax.Array) -> tuple[jax.Array, jax.A
 
 def acgan_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Sparse softmax CE (CT_gan_cifar_resnet.py:245-248)."""
-    logp = jax.nn.log_softmax(logits)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 

@@ -33,6 +33,7 @@ __all__ = [
 def labeled_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """−mean(l_lab) + mean(LSE) — softmax CE written the reference's way
     (CT_MNIST.py:74-76)."""
+    logits = logits.astype(jnp.float32)
     l_lab = jnp.take_along_axis(logits, labels[:, None], axis=1)[:, 0]
     return -jnp.mean(l_lab) + jnp.mean(log_sum_exp(logits))
 
@@ -59,6 +60,11 @@ def ct_mnist_unlabeled_loss(
     weighted 0 by default ("makes the model unstable", CT_MNIST.py:85).
     Returns (loss_unl, ct_mean) for logging.
     """
+    logits_unl = logits_unl.astype(jnp.float32)
+    logits_unl2 = logits_unl2.astype(jnp.float32)
+    feat_unl = feat_unl.astype(jnp.float32)
+    feat_unl2 = feat_unl2.astype(jnp.float32)
+    logits_fake = logits_fake.astype(jnp.float32)
     loss_ct = jnp.mean(
         jnp.square(jax.nn.softmax(logits_unl) - jax.nn.softmax(logits_unl2)), axis=1
     )
@@ -89,6 +95,11 @@ def ct_cifar_unlabeled_loss(
 ) -> jax.Array:
     """CIFAR unlabeled objective (CT_CIFAR.py:117-123): weighted softmax-MSE
     + feature-MSE consistency, plus the real/fake LSE terms at weight 0.5."""
+    logits_unl = logits_unl.astype(jnp.float32)
+    logits_unl2 = logits_unl2.astype(jnp.float32)
+    feat_unl = feat_unl.astype(jnp.float32)
+    feat_unl2 = feat_unl2.astype(jnp.float32)
+    logits_fake = logits_fake.astype(jnp.float32)
     loss_comp = jnp.mean(
         jnp.square(jax.nn.softmax(logits_unl) - jax.nn.softmax(logits_unl2))
     )
@@ -118,6 +129,9 @@ def ct_te_unlabeled_loss(
     """Temporal-ensembling objective (CT_CIFAR-10_TE.py:112-122): CT against
     bias-corrected EMA targets instead of a second live pass — halving the
     D passes per batch."""
+    logits_unl = logits_unl.astype(jnp.float32)
+    feat_unl = feat_unl.astype(jnp.float32)
+    logits_fake = logits_fake.astype(jnp.float32)
     loss_ct = jnp.mean(jnp.square(jax.nn.softmax(logits_unl) - target_probs), axis=1)
     loss_ct_feat = jnp.mean(jnp.square(feat_unl - target_feats), axis=1)
     ct = lambda_2 * (loss_ct + feature_weight * loss_ct_feat) - factor_m
@@ -135,12 +149,18 @@ def ct_te_unlabeled_loss(
 
 def feature_matching_sq(feat_fake: jax.Array, feat_real: jax.Array) -> jax.Array:
     """G loss: ‖E[f(G(z))] − E[f(x)]‖² (CT_MNIST.py:96-98)."""
-    return jnp.mean(jnp.square(jnp.mean(feat_fake, axis=0) - jnp.mean(feat_real, axis=0)))
+    return jnp.mean(jnp.square(
+        jnp.mean(feat_fake.astype(jnp.float32), axis=0)
+        - jnp.mean(feat_real.astype(jnp.float32), axis=0)
+    ))
 
 
 def feature_matching_abs(feat_fake: jax.Array, feat_real: jax.Array) -> jax.Array:
     """G loss, L1 variant (CT_CIFAR.py:151-155)."""
-    return jnp.mean(jnp.abs(jnp.mean(feat_fake, axis=0) - jnp.mean(feat_real, axis=0)))
+    return jnp.mean(jnp.abs(
+        jnp.mean(feat_fake.astype(jnp.float32), axis=0)
+        - jnp.mean(feat_real.astype(jnp.float32), axis=0)
+    ))
 
 
 def ema_targets_update(

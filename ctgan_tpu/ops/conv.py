@@ -104,7 +104,7 @@ def conv2d(
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
-        result = result + b
+        result = result + b.astype(result.dtype)
     return result
 
 
@@ -154,7 +154,7 @@ def deconv2d(
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
-        result = result + b
+        result = result + b.astype(result.dtype)
     return result
 
 
@@ -217,7 +217,7 @@ def conv1d(
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
-        result = result + b
+        result = result + b.astype(result.dtype)
     return result
 
 
@@ -268,5 +268,5 @@ def separable_conv2d(
     )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out

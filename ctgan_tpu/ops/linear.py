@@ -64,5 +64,5 @@ def linear(
         b = store.param(
             name + ".b", lambda: np.zeros((output_dim,), dtype="float32")
         )
-        result = result + b
+        result = result + b.astype(result.dtype)
     return result

@@ -77,7 +77,7 @@ def wn_dense(
         _record_init(name, g * inv_stdv, -m * inv_stdv)
         pre = (pre - m) * inv_stdv
     else:
-        pre = pre + b
+        pre = pre + b.astype(pre.dtype)
     return nonlinearity(pre) if nonlinearity is not None else pre
 
 
@@ -130,7 +130,7 @@ def wn_conv2d(
         _record_init(name, g * inv_stdv, -m * inv_stdv)
         pre = (pre - m) * inv_stdv
     else:
-        pre = pre + b
+        pre = pre + b.astype(pre.dtype)
     return nonlinearity(pre) if nonlinearity is not None else pre
 
 
@@ -175,7 +175,7 @@ def wn_deconv2d(
         _record_init(name, g * inv_stdv, -m * inv_stdv)
         pre = (pre - m) * inv_stdv
     else:
-        pre = pre + b
+        pre = pre + b.astype(pre.dtype)
     return nonlinearity(pre) if nonlinearity is not None else pre
 
 
