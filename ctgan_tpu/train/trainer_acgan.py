@@ -59,6 +59,10 @@ class AcganConfig:
     acgan_scale_g: float = 0.1      # ACGAN_SCALE_G (:58)
     kp: tuple = (0.8, 0.5, 0.5)     # dropout keep probs (:232)
     remat: bool = False             # jax.checkpoint the D forward
+    fuse_ct_passes: bool = True     # run the two CT passes as ONE 2x-batch D
+                                    # pass (independent per-example dropout ==
+                                    # two independent passes; valid because
+                                    # this D has no batch-coupled norm)
 
 
 class AcganState(NamedTuple):
@@ -93,8 +97,16 @@ def make_acgan_trainer(
                 both = jnp.concatenate([real, fake], axis=0)
                 both_labels = jnp.concatenate([labels, labels], axis=0)
 
-                d_all = disc_fn(both, both_labels, kp1, kp2, kp3)
-                d_all_2 = disc_fn(both, both_labels, kp1, kp2, kp3)
+                if cfg.fuse_ct_passes:
+                    doubled = jnp.concatenate([both, both], axis=0)
+                    doubled_labels = jnp.concatenate([both_labels, both_labels], axis=0)
+                    d_pair = disc_fn(doubled, doubled_labels, kp1, kp2, kp3)
+                    n2 = both.shape[0]
+                    d_all = type(d_pair)(*(None if v is None else v[:n2] for v in d_pair))
+                    d_all_2 = type(d_pair)(*(None if v is None else v[n2:] for v in d_pair))
+                else:
+                    d_all = disc_fn(both, both_labels, kp1, kp2, kp3)
+                    d_all_2 = disc_fn(both, both_labels, kp1, kp2, kp3)
                 d_clean = disc_fn(both, both_labels, 1.0, 1.0, 1.0)
 
                 d_real, d_fake = d_all.wgan[:b], d_all.wgan[b:]

@@ -22,6 +22,9 @@ def main():
                     help="bf16 peak of the chip (v5e ≈ 197 TFLOP/s)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--bf16", action="store_true",
+                    help="force the bf16 activation policy even off-TPU "
+                         "(for byte accounting)")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +38,7 @@ def main():
     from __graft_entry__ import _init_flagship
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    default_tpu_policy(enable_bf16=on_tpu)
+    default_tpu_policy(enable_bf16=on_tpu or args.bf16)
 
     cfg_model = resnet_cifar.ResnetCifarConfig(dim_g=args.dim, dim_d=args.dim)
     cfg = AcganConfig(batch_size=args.batch, critic_iters=5, iters=100000)
