@@ -35,7 +35,40 @@ WARMUP_ITERS = 3
 MEASURE_ITERS = 20
 
 
+def _device_watchdog(timeout_s: float = 600.0):
+    """Fail fast if backend init hangs (a wedged TPU tunnel claim blocks
+    forever otherwise)."""
+    import os
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            jax.devices()
+            done.set()
+        except Exception:
+            done.set()
+            raise
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        import sys
+
+        print(
+            f"bench: device init did not complete within {timeout_s:.0f}s "
+            "(TPU tunnel claim appears wedged); aborting",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(1)
+
+
 def main() -> None:
+    _device_watchdog()
+
     import jax
     import jax.numpy as jnp
 
