@@ -53,22 +53,22 @@ def pick_arch(cfg: Config):
     if cfg.ARCH == "dcgan":
         return (
             partial(dcgan.dcgan64_generator, dim=cfg.DIM),
-            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM),
+            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM, mode=cfg.MODE),
         )
     if cfg.ARCH == "crippled":
         return (
             partial(dcgan.crippled_dcgan64_generator, dim=cfg.DIM),
-            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM),
+            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM, mode=cfg.MODE),
         )
     if cfg.ARCH == "fc":
         return (
             partial(fc.fc_generator, output_dim=OUTPUT_DIM),
-            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM),
+            partial(dcgan.dcgan64_discriminator, dim=cfg.DIM, mode=cfg.MODE),
         )
     if cfg.ARCH == "multiplicative":
         return (
             partial(dcgan.multiplicative_dcgan64_generator, dim=cfg.DIM),
-            partial(dcgan.multiplicative_dcgan64_discriminator, dim=cfg.DIM),
+            partial(dcgan.multiplicative_dcgan64_discriminator, dim=cfg.DIM, mode=cfg.MODE),
         )
     if cfg.ARCH == "resnet101":
         return (

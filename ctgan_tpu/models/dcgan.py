@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops import batchnorm, conv2d, deconv2d, dropout, leaky_relu, linear, relu
+from ..ops import batchnorm, conv2d, deconv2d, dropout, layernorm, leaky_relu, linear, relu
 from ..ops.init import WeightsStdevOverride
 from .common import flat_to_nhwc, nhwc_to_flat, noise_input
 
@@ -191,15 +191,23 @@ def dcgan64_discriminator(
     dim: int = 64,
     bn: bool = True,
     nonlinearity=leaky_relu,
+    mode: str = "dcgan",
 ) -> tuple[jax.Array, jax.Array]:
-    """CT_gan_64x64.py:440-467."""
+    """CT_gan_64x64.py:440-467.  In mode 'wgan-ct' the Normalize dispatcher
+    (CT_gan_64x64.py:91-96) swaps discriminator BN for layer norm."""
+
+    def norm(name, x):
+        if not bn:
+            return x
+        return layernorm(name, x) if mode == "wgan-ct" else batchnorm(name, x)
+
     with WeightsStdevOverride(0.02):
         out = flat_to_nhwc(inputs, 3, 64, 64)
         out = conv2d("Discriminator.1", 3, dim, 5, out, stride=2)
         out = nonlinearity(out)
         for i, (cin, cout) in enumerate([(1, 2), (2, 4), (4, 8)], start=2):
             out = conv2d(f"Discriminator.{i}", cin * dim, cout * dim, 5, out, stride=2)
-            out = _maybe_bn(bn, f"Discriminator.BN{i}", out)
+            out = norm(f"Discriminator.BN{i}", out)
             out = nonlinearity(out)
         features = out.reshape(-1, 4 * 4 * 8 * dim)
         logits = linear("Discriminator.Output", 4 * 4 * 8 * dim, 1, features)
@@ -243,14 +251,20 @@ def multiplicative_dcgan64_generator(
 
 
 def multiplicative_dcgan64_discriminator(
-    inputs: jax.Array, *, dim: int = 64, bn: bool = True
+    inputs: jax.Array, *, dim: int = 64, bn: bool = True, mode: str = "dcgan"
 ) -> tuple[jax.Array, jax.Array]:
-    """CT_gan_64x64.py:380-403."""
+    """CT_gan_64x64.py:380-403; Normalize swaps to layer norm in wgan-ct."""
+
+    def norm(name, x):
+        if not bn:
+            return x
+        return layernorm(name, x) if mode == "wgan-ct" else batchnorm(name, x)
+
     out = flat_to_nhwc(inputs, 3, 64, 64)
     out = _gate(conv2d("Discriminator.1", 3, dim * 2, 5, out, stride=2))
     for i, (cin, cout) in enumerate([(1, 2), (2, 4), (4, 8)], start=2):
         out = conv2d(f"Discriminator.{i}", cin * dim, cout * dim * 2, 5, out, stride=2)
-        out = _gate(_maybe_bn(bn, f"Discriminator.BN{i}", out))
+        out = _gate(norm(f"Discriminator.BN{i}", out))
     features = out.reshape(-1, 4 * 4 * 8 * dim)
     logits = linear("Discriminator.Output", 4 * 4 * 8 * dim, 1, features)
     return logits.reshape(-1), features
