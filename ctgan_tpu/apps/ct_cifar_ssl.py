@@ -96,7 +96,31 @@ def main(argv=None, cfg: Config | None = None):
         x_unl2 = random_crop_flip(x_unl2, k3)
         return raw_step_fn(state, x_lab, y, x_unl, x_unl2, targets, key)
 
+    def multi_step_with_augment(state, xl_s, yl_s, xu_s, xu2_s, targets_s, key):
+        """lax.scan of the augmented step over CHUNK stacked batches — one
+        device dispatch per chunk; augmentation keys vary with state.step."""
+
+        def body(st, inp):
+            if targets_s is None:
+                xl, yl, xu, xu2 = inp
+                tg = None
+            else:
+                xl, yl, xu, xu2, tp, tf = inp
+                tg = (tp, tf)
+            st, out = step_with_augment(st, xl, yl, xu, xu2, tg, key)
+            return st, out
+
+        xs = (
+            (xl_s, yl_s, xu_s, xu2_s)
+            if targets_s is None
+            else (xl_s, yl_s, xu_s, xu2_s, targets_s[0], targets_s[1])
+        )
+        state, (mstack, probs, feats) = jax.lax.scan(body, state, xs)
+        return state, ({k: jnp.mean(v) for k, v in mstack.items()}, probs, feats)
+
+    CHUNK = 25
     jit_step = jax.jit(step_with_augment, donate_argnums=0)
+    jit_multi = jax.jit(multi_step_with_augment, donate_argnums=0)
     jit_test = jax.jit(test_fn)
     logger = MetricLogger(out_dir)
     bs = cfg.batch_size
@@ -119,25 +143,36 @@ def main(argv=None, cfg: Config | None = None):
         epoch_preds = np.zeros((n, 10), "float32")
         epoch_preds2 = np.zeros((n, 128), "float32")
         sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_gen": 0.0}
-        for t in range(nr_batches):
-            sl = slice(t * bs, (t + 1) * bs)
+        n_calls = 0
+
+        def stack(arr, idx):
+            return jnp.asarray(arr[idx].reshape(-1, bs, *arr.shape[1:]))
+
+        for t0 in range(0, nr_batches, CHUNK):
+            t1 = min(t0 + CHUNK, nr_batches)
+            if t1 - t0 != CHUNK and t0 > 0:
+                break  # drop ragged tail (avoids a second compile)
+            sl = slice(t0 * bs, t1 * bs)
             li = lab_idx[sl]
             u1 = unl1[sl]
             targets = None
             if cfg.temporal_ensembling:
-                targets = (jnp.asarray(targets_np[u1]), jnp.asarray(targets2_np[u1]))
-            state, (metrics, probs, feats) = jit_step(
+                targets = (
+                    stack(targets_np, u1), stack(targets2_np, u1)
+                )
+            state, (metrics, probs, feats) = jit_multi(
                 state,
-                jnp.asarray(txs[li]), jnp.asarray(tys[li]),
-                jnp.asarray(trainx[u1]),
-                jnp.asarray(trainx[unl2[sl]]),
+                stack(txs, li), stack(tys, li),
+                stack(trainx, u1), stack(trainx, unl2[sl]),
                 targets, key,
             )
             if cfg.temporal_ensembling:
-                epoch_preds[u1] = np.asarray(probs)
-                epoch_preds2[u1] = np.asarray(feats)
+                epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
+                epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)
+            n_calls += 1
             for k in sums:
                 sums[k] += float(metrics[k])
+        nr_batches_eff = max(n_calls, 1)
 
         if cfg.temporal_ensembling:
             # bias-corrected EMA target update (TE:305-309)
@@ -155,7 +190,7 @@ def main(argv=None, cfg: Config | None = None):
             for i in range(0, len(testx) - bs + 1, bs)
         ]))
         for k, v in sums.items():
-            logger.plot(k, v / nr_batches)
+            logger.plot(k, v / nr_batches_eff)
         logger.plot("test_err", test_err)
         logger.tick()
         logger.flush()

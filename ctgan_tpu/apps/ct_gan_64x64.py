@@ -97,18 +97,35 @@ def main(argv=None, cfg: Config | None = None):
     state = init_state(gp, dp)
 
     critic_iters = 1 if cfg.MODE == "dcgan" else cfg.CRITIC_ITERS
-    gen = images_dir.prefetch(
-        stack_batches(
-            images_dir.image_dir_generator(cfg.DATA_DIR or None, cfg.BATCH_SIZE, 64, seed=cfg.seed),
-            critic_iters,
-        )
-    )
+    from ..data.native import NativePipeline, native_available
+    from ..data.synthetic import synthetic_images
 
-    def next_batch():
-        raw = next(gen)  # [K, B, 3, 64, 64] uint8
-        flat = raw.reshape(critic_iters, cfg.BATCH_SIZE, OUTPUT_DIM)
-        real = 2.0 * (flat.astype("float32") / 255.0 - 0.5)
-        return (jnp.asarray(real),)
+    if not cfg.DATA_DIR and native_available():
+        # native C++ batcher: threaded shuffle + flip + normalize over the
+        # in-memory dataset (file-dir path below decodes in Python)
+        flat, _ = synthetic_images(4096, 3, 64, seed=cfg.seed)
+        pipe = NativePipeline(
+            flat, None, cfg.BATCH_SIZE, critic_iters, chw=(3, 64, 64),
+            flip=True, seed=cfg.seed,
+        )
+
+        def next_batch():
+            imgs, _ = pipe.next()
+            return (jnp.asarray(imgs),)
+
+    else:
+        gen = images_dir.prefetch(
+            stack_batches(
+                images_dir.image_dir_generator(cfg.DATA_DIR or None, cfg.BATCH_SIZE, 64, seed=cfg.seed),
+                critic_iters,
+            )
+        )
+
+        def next_batch():
+            raw = next(gen)  # [K, B, 3, 64, 64] uint8
+            flat = raw.reshape(critic_iters, cfg.BATCH_SIZE, OUTPUT_DIM)
+            real = 2.0 * (flat.astype("float32") / 255.0 - 0.5)
+            return (jnp.asarray(real),)
 
     fixed_noise = jnp.asarray(
         np.random.default_rng(cfg.seed).normal(size=(64, 128)).astype("f4")
