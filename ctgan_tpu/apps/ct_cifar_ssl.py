@@ -41,6 +41,9 @@ class Config:
     prediction_decay: float = 0.6   # CT_CIFAR-10_TE.py:23
     LAMBDA_2: float = 1.0           # TE variant weight (TE:22); plain uses fixed weights
     factor_M: float = 0.0
+    chunk: int = 25                 # batches per device dispatch (1 = no scan;
+                                    # scanning this conv step compiles very
+                                    # slowly on CPU XLA — use 1 off-TPU)
     out_dir: str = "runs/ct_cifar_ssl"
 
 
@@ -118,7 +121,7 @@ def main(argv=None, cfg: Config | None = None):
         state, (mstack, probs, feats) = jax.lax.scan(body, state, xs)
         return state, ({k: jnp.mean(v) for k, v in mstack.items()}, probs, feats)
 
-    CHUNK = 25
+    CHUNK = cfg.chunk
     jit_step = jax.jit(step_with_augment, donate_argnums=0)
     jit_multi = jax.jit(multi_step_with_augment, donate_argnums=0)
     jit_test = jax.jit(test_fn)
@@ -160,12 +163,23 @@ def main(argv=None, cfg: Config | None = None):
                 targets = (
                     stack(targets_np, u1), stack(targets2_np, u1)
                 )
-            state, (metrics, probs, feats) = jit_multi(
-                state,
-                stack(txs, li), stack(tys, li),
-                stack(trainx, u1), stack(trainx, unl2[sl]),
-                targets, key,
-            )
+            if CHUNK == 1:
+                tg = None if targets is None else (targets[0][0], targets[1][0])
+                state, (metrics, probs, feats) = jit_step(
+                    state,
+                    jnp.asarray(txs[li]), jnp.asarray(tys[li]),
+                    jnp.asarray(trainx[u1]), jnp.asarray(trainx[unl2[sl]]),
+                    tg, key,
+                )
+                probs = probs[None]
+                feats = feats[None]
+            else:
+                state, (metrics, probs, feats) = jit_multi(
+                    state,
+                    stack(txs, li), stack(tys, li),
+                    stack(trainx, u1), stack(trainx, unl2[sl]),
+                    targets, key,
+                )
             if cfg.temporal_ensembling:
                 epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
                 epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)

@@ -114,12 +114,12 @@ def test_cifar_ssl_app(tmp_path, monkeypatch):
         return x, y
 
     monkeypatch.setattr(cifar_mod, "load_normalized", small)
-    cfg = Config(epochs=1, batch_size=50, count=20, out_dir=str(tmp_path))
+    cfg = Config(epochs=1, batch_size=50, count=20, chunk=1, out_dir=str(tmp_path))
     state = main(cfg=cfg)
     assert os.path.exists(tmp_path / "gen_params.npz")
     # temporal-ensembling variant
     cfg2 = Config(epochs=1, batch_size=50, count=20, temporal_ensembling=True,
-                  out_dir=str(tmp_path / "te"))
+                  chunk=1, out_dir=str(tmp_path / "te"))
     main(cfg=cfg2)
 
 
