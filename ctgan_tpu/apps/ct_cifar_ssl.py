@@ -41,9 +41,10 @@ class Config:
     prediction_decay: float = 0.6   # CT_CIFAR-10_TE.py:23
     LAMBDA_2: float = 1.0           # TE variant weight (TE:22); plain uses fixed weights
     factor_M: float = 0.0
-    chunk: int = 25                 # batches per device dispatch (1 = no scan;
-                                    # scanning this conv step compiles very
-                                    # slowly on CPU XLA — use 1 off-TPU)
+    chunk: int = 1                  # batches per device dispatch; raise (e.g.
+                                    # 25) on TPU to amortize dispatch latency.
+                                    # Default 1: scanning this conv step
+                                    # compiles pathologically slowly on CPU XLA
     out_dir: str = "runs/ct_cifar_ssl"
 
 
