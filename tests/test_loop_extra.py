@@ -1,0 +1,62 @@
+"""Train-loop extras: NaN tripwire, time-based scheduling, checkpoints."""
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctgan_tpu.train.loop import LoopConfig, train_loop
+from ctgan_tpu.utils import MetricLogger
+
+
+class ToyState(NamedTuple):
+    x: jax.Array
+    step: jax.Array
+
+
+def _toy_step(state, batch, key):
+    new_x = state.x + jnp.mean(batch)
+    return ToyState(new_x, state.step + 1), {"cost": new_x}
+
+
+def _nan_step(state, batch, key):
+    bad = jnp.where(state.step >= 2, jnp.nan, 1.0)
+    return ToyState(state.x, state.step + 1), {"cost": bad}
+
+
+def _batches():
+    return (jnp.ones((4, 2)),)
+
+
+def test_nan_tripwire_halts():
+    state = ToyState(jnp.zeros(()), jnp.zeros((), jnp.int32))
+    cfg = LoopConfig(iters=10, print_every=100, nan_check_every=1)
+    with pytest.raises(FloatingPointError, match="cost"):
+        train_loop(state, _nan_step, _batches, jax.random.PRNGKey(0), cfg)
+
+
+def test_loop_runs_and_checkpoints(tmp_path):
+    state = ToyState(jnp.zeros(()), jnp.zeros((), jnp.int32))
+    cfg = LoopConfig(iters=6, print_every=3, save_every=2, ckpt_dir=str(tmp_path))
+    out = train_loop(state, _toy_step, _batches, jax.random.PRNGKey(0), cfg,
+                     logger=MetricLogger())
+    assert int(out.step) == 6
+    saved = sorted(os.listdir(tmp_path))
+    assert any(f.startswith("ckpt_") and f.endswith(".npz") for f in saved)
+    # resume from the checkpoint continues at the right iteration
+    cfg2 = LoopConfig(iters=8, print_every=3, save_every=100, ckpt_dir=str(tmp_path))
+    out2 = train_loop(state, _toy_step, _batches, jax.random.PRNGKey(0), cfg2)
+    assert int(out2.step) == 8
+
+
+def test_time_based_print(tmp_path, capsys):
+    state = ToyState(jnp.zeros(()), jnp.zeros((), jnp.int32))
+    # print_every huge, but every-0-seconds forces a flush per iteration
+    cfg = LoopConfig(iters=3, print_every=10**9, print_first=0,
+                     print_every_secs=0.0001, nan_check_every=None)
+    train_loop(state, _toy_step, _batches, jax.random.PRNGKey(0), cfg)
+    out = capsys.readouterr().out
+    assert out.count("cost") >= 2
