@@ -34,10 +34,14 @@ DIM = 128
 WARMUP_ITERS = 3
 MEASURE_ITERS = 20
 
+METRIC_NAME = "cifar_resnet_ctgan_train_images_per_sec_per_chip"
+UNIT = "images/sec/chip"
 
-def _device_watchdog(timeout_s: float = 600.0):
+
+def _device_watchdog(timeout_s: float = 180.0):
     """Fail fast if backend init hangs (a wedged TPU tunnel claim blocks
-    forever otherwise)."""
+    forever otherwise).  Exit code 7 tells the parent retry loop the
+    backend never came up (vs a measurement crash)."""
     import os
     import threading
 
@@ -60,10 +64,61 @@ def _device_watchdog(timeout_s: float = 600.0):
 
         print(
             f"bench: device init did not complete within {timeout_s:.0f}s "
-            "(TPU tunnel claim appears wedged); aborting",
+            "(TPU tunnel claim appears wedged); aborting attempt",
             file=sys.stderr, flush=True,
         )
-        os._exit(1)
+        os._exit(7)
+
+
+def _supervise() -> None:
+    """Run the measurement in a subprocess with bounded retries + backoff.
+
+    The round-1 failure mode was a wedged TPU tunnel: the old bench detected
+    it but just exited 1, costing the round its only hardware number
+    (VERDICT.md "What's weak" #2).  Now: up to 3 attempts, each in a fresh
+    process (a wedged PJRT client cannot be retried in-process), and if all
+    fail we still print ONE parseable JSON line describing the failure and
+    exit 0 so the driver records a degraded artifact instead of rc=1.
+    """
+    import os
+    import subprocess
+    import sys
+
+    attempts = 3
+    child_timeout = [900, 600, 600]
+    backoff = [20, 40]
+    errors = []
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                timeout=child_timeout[i],
+                text=True,
+            )
+            out = proc.stdout or ""
+            for line in reversed(out.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    print(line)
+                    return
+            errors.append(f"attempt {i + 1}: rc={proc.returncode}, no JSON; tail: {out[-300:]!r}")
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {i + 1}: timed out after {child_timeout[i]}s")
+        if i < attempts - 1:
+            time.sleep(backoff[i])
+    print(
+        json.dumps(
+            {
+                "metric": METRIC_NAME,
+                "value": 0.0,
+                "unit": UNIT,
+                "vs_baseline": 0.0,
+                "error": "; ".join(errors)[-900:],
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -129,9 +184,9 @@ def main() -> None:
     sec_per_iter = elapsed / MEASURE_ITERS
     images_per_sec = BATCH * CRITIC_ITERS / sec_per_iter
     result = {
-        "metric": "cifar_resnet_ctgan_train_images_per_sec_per_chip",
+        "metric": METRIC_NAME,
         "value": round(images_per_sec, 2),
-        "unit": "images/sec/chip",
+        "unit": UNIT,
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "sec_per_iter": round(sec_per_iter, 4),
         "compile_plus_warmup_sec": round(compile_s, 1),
@@ -143,4 +198,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--run" in sys.argv:
+        main()
+    else:
+        _supervise()

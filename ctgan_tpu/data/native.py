@@ -185,6 +185,19 @@ class NativePipeline:
             perm = self._rng_cache[e]
             idx = perm[(off + np.arange(per)) % n]
             images = self.images[idx].astype("float32") * self.scale + self.shift
+            c, h, w = self._chw
+            if self.flip and w > 0 and c * h * w == self.item:
+                # Same (seed, cursor)-derived aug seed as the native path
+                # (ctgan_io.cpp::claim); the decision *stream* differs
+                # (mt19937_64 vs PCG64) but both are deterministic in
+                # (seed, cursor), which is the resume contract.
+                aug_seed = (
+                    self.seed ^ (self._cursor * 0xD1B54A32D192ED03)
+                ) & 0xFFFFFFFFFFFFFFFF
+                mask = np.random.default_rng(aug_seed).integers(0, 2, per) == 1
+                planes = images.reshape(per, c, h, w)
+                planes[mask] = planes[mask][..., ::-1]
+                images = planes.reshape(per, self.item)
             labels = self.labels[idx] if self.labels is not None else None
             self._cursor += per
         out_i = images.reshape(self.k, self.batch, self.item)

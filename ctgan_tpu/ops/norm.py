@@ -118,12 +118,15 @@ def batchnorm(
         mean = moving_mean.reshape((1,) * (x.ndim - 1) + (c,))
         var = moving_var.reshape((1,) * (x.ndim - 1) + (c,))
     elif mode == "blend":
+        # Per-item-moments blend (reference tflib/ops/batchnorm.py:31-68) is
+        # only defined for conv inputs; the reference's non-conv path never
+        # reaches it either.
+        if x.ndim != 4:
+            raise ValueError(
+                f"batchnorm mode='blend' requires NHWC (4-D) input, got ndim={x.ndim}"
+            )
         bs = jnp.asarray(x.shape[0], jnp.float32)
-        if x.ndim == 4:
-            item_mean, item_var = _moments(x, (1, 2))
-        else:
-            item_mean = x[:, None] if x.ndim == 1 else x
-            item_mean, item_var = x, jnp.zeros_like(x)
+        item_mean, item_var = _moments(x, (1, 2))
         mean = (1.0 / bs) * item_mean + ((bs - 1.0) / bs) * moving_mean
         var = (1.0 / bs) * item_var + ((bs - 1.0) / bs) * moving_var
     else:

@@ -32,6 +32,27 @@ from ..utils.profiler import StepTimer, profile_step
 __all__ = ["LoopConfig", "train_loop"]
 
 
+def _prune_checkpoints(ckpt_dir: str, keep: int, prefix: str = "ckpt") -> None:
+    """Delete all but the newest ``keep`` checkpoints (by step number)."""
+    cands = [
+        f
+        for f in os.listdir(ckpt_dir)
+        if f.startswith(prefix) and f.endswith(".npz")
+    ]
+
+    def step_of(f):
+        try:
+            return int(f[len(prefix) + 1 : -4])
+        except ValueError:
+            return -1
+
+    for f in sorted(cands, key=step_of)[:-keep]:
+        try:
+            os.unlink(os.path.join(ckpt_dir, f))
+        except OSError:
+            pass
+
+
 @dataclass
 class LoopConfig:
     iters: int = 1000
@@ -48,6 +69,7 @@ class LoopConfig:
                                        # checks, SURVEY §5)
     print_every_secs: float | None = None  # v1-style wall-clock cadence
     save_every_secs: float | None = None
+    keep_checkpoints: int | None = None    # prune to the newest N (None = all)
 
 
 def train_loop(
@@ -121,6 +143,8 @@ def train_loop(
                 "data_state": data_state() if data_state else None,
             }
             save_checkpoint(os.path.join(cfg.ckpt_dir, f"ckpt_{iteration + 1}.npz"), blob)
+            if cfg.keep_checkpoints:
+                _prune_checkpoints(cfg.ckpt_dir, cfg.keep_checkpoints)
 
         print_now = (
             iteration < cfg.print_first

@@ -7,9 +7,10 @@ generator fast-forward of ``train_loop_2.py:123-194`` (whose own comments
 acknowledge corrupt-checkpoint risk on interrupt).
 
 One atomic unit: ``(params, opt_state, loop_state, data_state)`` written as
-``.npz`` (arrays) + ``.json`` (structure/scalars) to a temp file then
-``os.replace``'d — crash-safe by construction.  Arbitrary nested dict/
-NamedTuple pytrees of arrays round-trip exactly.
+a single ``.npz`` whose structure descriptor is embedded as a uint8 array
+(``__structure_json__``), committed by ONE ``os.replace`` — crash-safe by
+construction (no sidecar file that could go stale independently).  Arbitrary
+nested dict/NamedTuple pytrees of arrays round-trip exactly.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import numpy as np
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
 
 _SEP = "/"
+_STRUCT_KEY = "__structure_json__"
 
 
 def _flatten(tree: Any, prefix: str = "") -> tuple[dict, Any]:
@@ -86,33 +88,38 @@ def _unflatten(struct: Any, arrays: dict) -> Any:
 
 
 def save_checkpoint(path: str, tree: Any) -> str:
-    """Atomically write ``tree`` to ``path`` (.npz + sidecar .json)."""
+    """Atomically write ``tree`` to ``path`` (one self-contained .npz)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays, struct = _flatten(tree)
+    assert _STRUCT_KEY not in arrays, f"reserved key {_STRUCT_KEY!r} in tree"
+    struct_bytes = np.frombuffer(
+        json.dumps(struct).encode("utf-8"), dtype=np.uint8
+    )
     dir_ = os.path.dirname(path) or "."
     fd, tmp = tempfile.mkstemp(dir=dir_, suffix=".npz.tmp")
     os.close(fd)
     try:
         with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
-        fd2, tmp_json = tempfile.mkstemp(dir=dir_, suffix=".json.tmp")
-        os.close(fd2)
-        with open(tmp_json, "w") as f:
-            json.dump(struct, f)
+            np.savez(f, **{_STRUCT_KEY: struct_bytes}, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
-        os.replace(tmp_json, path + ".json")
     finally:
-        for t in (tmp, tmp + ".json"):
-            if os.path.exists(t):
-                os.unlink(t)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 
 def load_checkpoint(path: str) -> Any:
-    with open(path + ".json") as f:
-        struct = json.load(f)
     with np.load(path, allow_pickle=False) as data:
         arrays = {k: data[k] for k in data.files}
+    embedded = arrays.pop(_STRUCT_KEY, None)
+    if embedded is not None:
+        struct = json.loads(bytes(embedded).decode("utf-8"))
+    else:
+        # round-1 checkpoints used a sidecar .json; accept them on read
+        with open(path + ".json") as f:
+            struct = json.load(f)
     return _unflatten(struct, arrays)
 
 

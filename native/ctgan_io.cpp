@@ -20,8 +20,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <mutex>
-#include <queue>
 #include <random>
 #include <thread>
 #include <vector>
@@ -73,8 +73,16 @@ int ctgan_decode_cifar_bin(const uint8_t* data, int64_t len, uint8_t* images,
 struct Batch {
   std::vector<float> images;   // [k*b*item] normalized
   std::vector<int64_t> labels; // [k*b]
+  int64_t ticket = 0;          // claim cursor — delivery is in ticket order
+  uint64_t gen = 0;            // seek generation at claim time
 };
 
+// Determinism contract: delivered batch order is a pure function of
+// (seed, cursor) regardless of n_threads.  Workers claim contiguous cursor
+// ranges (tickets) in order, fill out-of-order, but ctgan_pipeline_next
+// delivers strictly in ticket order; cursor() reports the CONSUMED cursor,
+// and seek() bumps a generation so in-flight/prefetched stale batches are
+// discarded instead of being delivered.
 struct Pipeline {
   const uint8_t* data = nullptr;  // [n, item] borrowed
   const int64_t* labels = nullptr;  // [n] borrowed (optional)
@@ -86,12 +94,14 @@ struct Pipeline {
   float scale = 1.0f, shift = 0.0f;  // out = px*scale + shift
 
   std::vector<std::thread> workers;
-  std::queue<Batch*> ready;
-  std::mutex mu;
+  std::map<int64_t, Batch*> ready;  // ticket -> batch
+  std::mutex mu;                    // guards ready, consumed, cv waits
   std::condition_variable cv_ready, cv_space;
   size_t max_depth = 4;
   std::atomic<bool> stop{false};
-  int64_t cursor = 0;   // global sample cursor (for deterministic order)
+  int64_t cursor = 0;    // producer claim cursor (samples)
+  int64_t consumed = 0;  // consumer cursor (samples), guarded by mu
+  uint64_t gen = 0;      // seek generation, written under cursor_mu+mu
   std::mutex cursor_mu;
 
   std::vector<int64_t> perm;
@@ -109,7 +119,8 @@ struct Pipeline {
   }
 
   // Claim the next [k*batch] contiguous permuted slots; reshuffle per epoch.
-  void claim(std::vector<int64_t>& idx, uint64_t& aug_seed) {
+  void claim(std::vector<int64_t>& idx, uint64_t& aug_seed, int64_t& ticket,
+             uint64_t& g) {
     std::lock_guard<std::mutex> l(cursor_mu);
     int64_t per = (int64_t)k * batch;
     int64_t per_epoch = (n / per) * per;
@@ -120,13 +131,15 @@ struct Pipeline {
     idx.resize(per);
     for (int64_t i = 0; i < per; i++) idx[i] = perm[(off + i) % n];
     aug_seed = seed ^ (uint64_t)cursor * 0xD1B54A32D192ED03ULL;
+    ticket = cursor;
+    g = gen;
     cursor += per;
   }
 
   void fill(Batch* b) {
     std::vector<int64_t> idx;
     uint64_t aug_seed;
-    claim(idx, aug_seed);
+    claim(idx, aug_seed, b->ticket, b->gen);
     std::mt19937_64 rng(aug_seed);
     int64_t per = (int64_t)k * batch;
     b->images.resize(per * item);
@@ -153,14 +166,23 @@ struct Pipeline {
   }
 
   void worker() {
+    int64_t per = (int64_t)k * batch;
     while (!stop.load()) {
       Batch* b = new Batch();
       fill(b);
       std::unique_lock<std::mutex> l(mu);
-      cv_space.wait(l, [&] { return ready.size() < max_depth || stop.load(); });
+      // Window flow control keyed on the consumer cursor: a batch whose
+      // ticket is within max_depth batches of `consumed` may always land —
+      // this cannot deadlock because tickets are claimed in order, so the
+      // batch the consumer is waiting on is always inside the window.
+      cv_space.wait(l, [&] {
+        return stop.load() || b->gen != gen ||
+               b->ticket < consumed + (int64_t)max_depth * per;
+      });
       if (stop.load()) { delete b; return; }
-      ready.push(b);
-      cv_ready.notify_one();
+      if (b->gen != gen) { delete b; continue; }  // stale after seek
+      ready[b->ticket] = b;
+      cv_ready.notify_all();
     }
   }
 };
@@ -192,17 +214,23 @@ void* ctgan_pipeline_create(const uint8_t* data, const int64_t* labels,
 }
 
 // Copies the next [k*batch, item] float32 batch (and labels) into caller
-// buffers.  Blocks until a batch is ready.
+// buffers.  Blocks until the IN-ORDER next batch (ticket == consumed cursor)
+// is ready — multi-worker output is therefore deterministic.
 int ctgan_pipeline_next(void* handle, float* images_out, int64_t* labels_out) {
   auto* p = (Pipeline*)handle;
   Batch* b = nullptr;
+  int64_t per = (int64_t)p->k * p->batch;
   {
     std::unique_lock<std::mutex> l(p->mu);
-    p->cv_ready.wait(l, [&] { return !p->ready.empty() || p->stop.load(); });
-    if (p->stop.load() && p->ready.empty()) return -1;
-    b = p->ready.front();
-    p->ready.pop();
-    p->cv_space.notify_one();
+    p->cv_ready.wait(l, [&] {
+      return p->ready.count(p->consumed) != 0 || p->stop.load();
+    });
+    if (p->ready.count(p->consumed) == 0) return -1;  // stopped
+    auto it = p->ready.find(p->consumed);
+    b = it->second;
+    p->ready.erase(it);
+    p->consumed += per;
+    p->cv_space.notify_all();
   }
   std::memcpy(images_out, b->images.data(), b->images.size() * sizeof(float));
   if (labels_out)
@@ -211,17 +239,26 @@ int ctgan_pipeline_next(void* handle, float* images_out, int64_t* labels_out) {
   return 0;
 }
 
+// Reports the CONSUMED cursor (what the caller has actually received), not
+// the producer claim cursor — saving this value and seeking to it on resume
+// reproduces the exact delivered batch sequence.
 int64_t ctgan_pipeline_cursor(void* handle) {
   auto* p = (Pipeline*)handle;
-  std::lock_guard<std::mutex> l(p->cursor_mu);
-  return p->cursor;
+  std::lock_guard<std::mutex> l(p->mu);
+  return p->consumed;
 }
 
 void ctgan_pipeline_seek(void* handle, int64_t cursor) {
   auto* p = (Pipeline*)handle;
-  std::lock_guard<std::mutex> l(p->cursor_mu);
+  std::lock_guard<std::mutex> lc(p->cursor_mu);
+  std::lock_guard<std::mutex> lm(p->mu);
   p->cursor = cursor;
+  p->consumed = cursor;
   p->epoch = -1;  // force reshuffle at next claim
+  p->gen++;       // stale in-flight/prefetched batches get discarded
+  for (auto& kv : p->ready) delete kv.second;
+  p->ready.clear();
+  p->cv_space.notify_all();
 }
 
 void ctgan_pipeline_destroy(void* handle) {
@@ -230,10 +267,8 @@ void ctgan_pipeline_destroy(void* handle) {
   p->cv_ready.notify_all();
   p->cv_space.notify_all();
   for (auto& t : p->workers) t.join();
-  while (!p->ready.empty()) {
-    delete p->ready.front();
-    p->ready.pop();
-  }
+  for (auto& kv : p->ready) delete kv.second;
+  p->ready.clear();
   delete p;
 }
 

@@ -99,3 +99,85 @@ def test_pipeline_flip():
 
 def test_native_library_builds():
     assert native_available()
+
+
+def _collect(p, n):
+    out = []
+    for _ in range(n):
+        imgs, labels = p.next()
+        out.append((imgs.copy(), None if labels is None else labels.copy()))
+    return out
+
+
+def _assert_same_sequence(a, b):
+    assert len(a) == len(b)
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        if la is not None or lb is not None:
+            np.testing.assert_array_equal(la, lb)
+
+
+def test_pipeline_multiworker_order_deterministic():
+    """Delivered batch order is a pure function of (seed, cursor): n_threads=4
+    must produce the exact sequence of n_threads=1 (ticket-ordered delivery,
+    ctgan_io.cpp::ctgan_pipeline_next)."""
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=(256, 8), dtype=np.uint8)
+    labels = rng.integers(0, 10, size=256)
+    seqs = []
+    for nt in (1, 4):
+        p = NativePipeline(data, labels, batch_size=8, critic_iters=2, seed=11,
+                           scale=1.0, shift=0.0, n_threads=nt, depth=3)
+        try:
+            seqs.append(_collect(p, 24))  # crosses an epoch boundary
+        finally:
+            p.close()
+    _assert_same_sequence(seqs[0], seqs[1])
+
+
+def test_pipeline_resume_reproduces_sequence_multiworker():
+    """(seed, cursor) resume with n_threads=2 reproduces the same delivered
+    sequence; cursor() reports consumption, and seek discards prefetch."""
+    rng = np.random.default_rng(8)
+    data = rng.integers(0, 256, size=(128, 4), dtype=np.uint8)
+    p = NativePipeline(data, np.arange(128), batch_size=4, critic_iters=2,
+                       seed=5, scale=1.0, shift=0.0, n_threads=2, depth=4)
+    try:
+        _collect(p, 3)
+        state = p.state()
+        assert state["cursor"] == 3 * 8  # consumed, not producer-claimed
+        first = _collect(p, 10)
+        p.set_state(state)
+        again = _collect(p, 10)
+        _assert_same_sequence(first, again)
+    finally:
+        p.close()
+
+
+def test_pipeline_fallback_matches_native_no_flip():
+    """Pure-Python fallback delivers the same shapes/values contract; with
+    flip=True it actually flips (ADVICE round-1: fallback dropped flip)."""
+    import ctgan_tpu.data.native as native_mod
+
+    w = 8
+    row = np.arange(w, dtype=np.uint8)
+    data = np.tile(row, (32, 1))
+    orig = native_mod.load_library
+    native_mod.load_library = lambda: None
+    try:
+        p = NativePipeline(data, None, batch_size=16, critic_iters=1, seed=3,
+                           chw=(1, 1, w), flip=True, scale=1.0, shift=0.0)
+        imgs, _ = p.next()
+        state = p.state()
+        imgs2, _ = p.next()
+        flat = np.concatenate([imgs, imgs2]).reshape(-1, w).astype(int)
+        fwd = (flat == row).all(axis=1)
+        bwd = (flat == row[::-1]).all(axis=1)
+        assert (fwd | bwd).all()
+        assert bwd.any() and fwd.any()
+        # resume determinism of the fallback's flip stream
+        p.set_state(state)
+        imgs3, _ = p.next()
+        np.testing.assert_array_equal(imgs2, imgs3)
+    finally:
+        native_mod.load_library = orig
