@@ -162,22 +162,23 @@ def main() -> None:
         [train_x.astype("int32"), train_y.astype("int32")], BATCH, CRITIC_ITERS
     )
 
-    def full_step(state, step_idx, key):
-        real_stack, label_stack = sampler.sample(step_idx)
+    def full_step(state, step_idx, data, perm, key):
+        real_stack, label_stack = sampler.sample(step_idx, data, perm)
         return step_fn(state, real_stack, label_stack, key)
 
     jit_step = jax.jit(full_step, donate_argnums=0)
     key = jax.random.PRNGKey(0)
+    data_args = tuple(sampler.arrays)
 
     t_compile = time.perf_counter()
     for i in range(WARMUP_ITERS):
-        state, metrics = jit_step(state, jnp.asarray(i), key)
+        state, metrics = jit_step(state, jnp.asarray(i), data_args, sampler.host_perm(i), key)
     jax.block_until_ready(metrics)
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
     for i in range(WARMUP_ITERS, WARMUP_ITERS + MEASURE_ITERS):
-        state, metrics = jit_step(state, jnp.asarray(i), key)
+        state, metrics = jit_step(state, jnp.asarray(i), data_args, sampler.host_perm(i), key)
     jax.block_until_ready(metrics)
     elapsed = time.perf_counter() - t0
 

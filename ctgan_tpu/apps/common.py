@@ -14,7 +14,57 @@ import os
 
 import numpy as np
 
-__all__ = ["parse_config", "setup_out_dir", "save_sample_grid", "maybe_mesh"]
+__all__ = [
+    "parse_config", "setup_out_dir", "save_sample_grid", "maybe_mesh",
+    "pick_scorer",
+]
+
+
+class _FlatInception:
+    """Adapts Inception2015 (NHWC/NCHW 4-D input) to the apps' flat
+    [N, C*H*W] C-major int-valued sample arrays."""
+
+    comparable = True  # scores comparable to the reference's IS artifacts
+
+    def __init__(self, inc, channels: int, size: int):
+        self._inc = inc
+        self._shape = (channels, size, size)
+
+    def _unflatten(self, images):
+        arr = np.asarray(images, np.float32).reshape(-1, *self._shape)
+        if self._shape[0] == 1:
+            arr = arr.repeat(3, axis=1)  # Inception needs 3 channels
+        return arr
+
+    def inception_score(self, images, splits: int = 10):
+        return self._inc.inception_score(self._unflatten(images), splits=splits)
+
+    def fid(self, real_images, fake_images):
+        return self._inc.fid(
+            self._unflatten(real_images), self._unflatten(fake_images)
+        )
+
+
+def pick_scorer(channels: int, size: int, out_dir: str, train_data=None):
+    """Prefer the reference-comparable Inception-2015 scorer when a weight
+    file is available (path via $CTGAN_INCEPTION_PB or /tmp/imagenet/, see
+    eval.inception2015); otherwise fall back to the self-contained
+    TrainedScorer.  Returns an object with inception_score()/fid() over flat
+    [N, C*H*W] int-valued images, plus a ``comparable`` flag."""
+    from ..eval import Inception2015, TrainedScorer, find_inception_file
+
+    path = find_inception_file()
+    if path is not None:
+        print(f"IS scorer: Inception-2015 frozen graph from {path} "
+              "(scores comparable to the reference)")
+        return _FlatInception(Inception2015(path), channels, size)
+    scorer = TrainedScorer(channels, size, cache_path=f"{out_dir}/scorer.npz")
+    scorer.comparable = False
+    if scorer.params is None and train_data is not None:
+        print("IS scorer: training self-contained classifier scorer "
+              "(supply $CTGAN_INCEPTION_PB for reference-comparable scores)")
+        scorer.fit(train_data[0], train_data[1], epochs=3)
+    return scorer
 
 
 def parse_config(cls, argv=None):
@@ -54,8 +104,13 @@ def save_sample_grid(samples_flat, shape_chw, path, value_range=(-1.0, 1.0)):
     save_images(imgs, path)
 
 
-def maybe_mesh(n_devices: int | None = None):
-    """All-device data mesh when >1 device is available, else None."""
+def maybe_mesh(n_devices: int | None = None, model_axis: int = 1):
+    """All-device mesh when >1 device is available, else None.
+
+    ``model_axis > 1`` adds a tensor-parallel axis; the caller must then run
+    the training step through ``train.make_unfused_step`` (one grad+update
+    per program) — the fused step is miscompiled under a model axis by the
+    current XLA SPMD partitioner (docs/XLA_GSPMD_SCAN_BUG.md)."""
     import jax
 
     devs = jax.devices()
@@ -64,4 +119,5 @@ def maybe_mesh(n_devices: int | None = None):
     from ctgan_tpu.parallel import make_mesh
 
     n = n_devices or len(devs)
-    return make_mesh(devs[:n], data=n, model=1)
+    n -= n % model_axis
+    return make_mesh(devs[:n], data=n // model_axis, model=model_axis)

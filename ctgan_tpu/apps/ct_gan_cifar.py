@@ -16,12 +16,11 @@ import numpy as np
 
 from ..core import apply_context, init_context, rng_context, split_params
 from ..data import DeviceSampler, cifar10
-from ..eval import TrainedScorer
 from ..losses.gan import input_slopes
 from ..models import dcgan
 from ..train import GanConfig, LoopConfig, make_gan_trainer, train_loop
 from ..utils import MetricLogger, save_checkpoint
-from .common import parse_config, save_sample_grid, setup_out_dir
+from .common import pick_scorer, parse_config, save_sample_grid, setup_out_dir
 
 
 @dataclass(frozen=True)
@@ -71,11 +70,9 @@ def main(argv=None, cfg: Config | None = None):
     )
     dev_images = data["test"][0][: cfg.BATCH_SIZE * 10]
 
-    # scorer: train once on the full real training set, cached
-    scorer = TrainedScorer(3, 32, cache_path=f"{out_dir}/scorer.npz")
-    if scorer.params is None:
-        print("training IS scorer on real data...")
-        scorer.fit(full["train"][0], full["train"][1], epochs=3)
+    # scorer: Inception-2015 when weights are supplied, else train-once cache
+    scorer = pick_scorer(3, 32, out_dir, train_data=full["train"])
+    if getattr(scorer, "comparable", False) is False and hasattr(scorer, "sanity_check"):
         print("scorer test acc:", scorer.sanity_check(full["test"][0][:2000], full["test"][1][:2000]))
 
     fixed_noise = jnp.asarray(
@@ -95,17 +92,18 @@ def main(argv=None, cfg: Config | None = None):
 
         return jax.jit(monitor)(real)
 
-    def dequant_step(state, step_idx, key):
-        raw = sampler.sample(step_idx)
+    def dequant_step(state, step_idx, data, perm, key):
+        raw = sampler.sample(step_idx, data, perm)
         real = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
         return step_fn(state, real, key)
 
     counter = {"i": 0}
+    data_args = tuple(sampler.arrays)
 
     def next_batch():
         i = counter["i"]
         counter["i"] += 1
-        return (jnp.asarray(i),)
+        return (jnp.asarray(i), data_args, sampler.host_perm(i))
 
     def generate_samples(state, n):
         outs = []

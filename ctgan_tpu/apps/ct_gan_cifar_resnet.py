@@ -16,13 +16,12 @@ import numpy as np
 
 from ..core import init_context, rng_context, split_params
 from ..data import DeviceSampler, cifar10
-from ..eval import TrainedScorer
 from ..models import resnet_cifar
 from ..parallel import shard_params
 from ..train import AcganConfig, LoopConfig, make_acgan_trainer, train_loop
 from ..core.store import format_param_table
 from ..utils import MetricLogger
-from .common import maybe_mesh, parse_config, save_sample_grid, setup_out_dir
+from .common import maybe_mesh, parse_config, pick_scorer, save_sample_grid, setup_out_dir
 
 
 @dataclass(frozen=True)
@@ -48,6 +47,9 @@ class Config:
     DATA_DIR: str = ""
     BF16: bool = True            # bf16 conv/matmul compute on TPU
     PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
+    MODEL_AXIS: int = 1          # tensor-parallel mesh axis; >1 switches to
+                                 # the TP-safe unfused step (see
+                                 # docs/XLA_GSPMD_SCAN_BUG.md)
     seed: int = 0
     out_dir: str = "runs/ct_gan_cifar_resnet"
     inception_samples: int = 50000
@@ -103,7 +105,8 @@ def main(argv=None, cfg: Config | None = None):
     print(format_param_table(gparams, "G Params"))
     print(format_param_table(dparams, "D Params"))
 
-    mesh = maybe_mesh()
+    mesh = maybe_mesh(model_axis=cfg.MODEL_AXIS)
+    tp = mesh is not None and cfg.MODEL_AXIS > 1
     if mesh is not None:
         gparams = shard_params(mesh, gparams)
         dparams = shard_params(mesh, dparams)
@@ -116,10 +119,7 @@ def main(argv=None, cfg: Config | None = None):
     )
     dev_images, dev_labels = data["test"]
 
-    scorer = TrainedScorer(3, 32, cache_path=f"{out_dir}/scorer.npz")
-    if scorer.params is None:
-        print("training IS scorer on real data...")
-        scorer.fit(data["train"][0], data["train"][1], epochs=3)
+    scorer = pick_scorer(3, 32, out_dir, train_data=data["train"])
 
     fixed_noise = jnp.asarray(
         np.random.default_rng(cfg.seed).normal(size=(100, 128)).astype("f4")
@@ -130,16 +130,32 @@ def main(argv=None, cfg: Config | None = None):
     jit_generate = jax.jit(generate_fn, static_argnums=1)
     jit_dev_cost = jax.jit(dev_cost_fn)
 
-    def fused_step(state, step_idx, key):
-        real_stack, label_stack = sampler.sample(step_idx)
-        return step_fn(state, real_stack, label_stack, key)
+    if tp:
+        # TP-safe unfused execution: one grad+update per XLA program
+        # (docs/XLA_GSPMD_SCAN_BUG.md); train_loop must not re-jit it.
+        from ..train import make_unfused_step
+
+        unfused = make_unfused_step(step_fn, has_labels=True)
+
+        def fused_step(state, step_idx, data, perm, key):
+            real_stack, label_stack = sampler.sample(step_idx, data, perm)
+            return unfused(state, real_stack, label_stack, key)
+    else:
+        # dataset arrays + epoch shuffle go through the jit boundary as
+        # arguments (see DeviceSampler.sample) — closure constants this
+        # large overflow remote-compile transports, and the in-trace
+        # permutation costs a 50k-element device sort per step
+        def fused_step(state, step_idx, data, perm, key):
+            real_stack, label_stack = sampler.sample(step_idx, data, perm)
+            return step_fn(state, real_stack, label_stack, key)
 
     counter = {"i": 0}
+    data_args = tuple(sampler.arrays)
 
     def next_batch():
         i = counter["i"]
         counter["i"] += 1
-        return (jnp.asarray(i),)
+        return (jnp.asarray(i), data_args, sampler.host_perm(i))
 
     def test_fn(state, iteration):
         metrics = {}
@@ -172,6 +188,7 @@ def main(argv=None, cfg: Config | None = None):
     lcfg = LoopConfig(
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+        keep_checkpoints=5, jit_step=not tp,
     )
     ctx_mgr = mesh if mesh is not None else _nullcontext()
     with ctx_mgr:

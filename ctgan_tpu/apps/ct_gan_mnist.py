@@ -74,15 +74,16 @@ def main(argv=None, cfg: Config | None = None):
     logger = MetricLogger(out_dir)
     jit_dev_cost = jax.jit(disc_cost_fn)
 
-    def fused_step(state, step_idx, key):
-        return step_fn(state, sampler.sample(step_idx), key)
+    def fused_step(state, step_idx, data, perm, key):
+        return step_fn(state, sampler.sample(step_idx, data, perm), key)
 
     counter = {"i": 0}
+    data_args = tuple(sampler.arrays)
 
     def next_batch():
         i = counter["i"]
         counter["i"] += 1
-        return (jnp.asarray(i),)
+        return (jnp.asarray(i), data_args, sampler.host_perm(i))
 
     def test_fn(state, iteration):
         costs = [

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
@@ -70,6 +71,11 @@ class LoopConfig:
     print_every_secs: float | None = None  # v1-style wall-clock cadence
     save_every_secs: float | None = None
     keep_checkpoints: int | None = None    # prune to the newest N (None = all)
+    jit_step: bool = True            # False when step_fn is already composed
+                                     # of jitted substeps (TP-safe unfused
+                                     # mode, train.make_unfused_step) — re-
+                                     # jitting would fuse them back into one
+                                     # miscompiled program
 
 
 def train_loop(
@@ -87,7 +93,7 @@ def train_loop(
 ) -> Any:
     logger = logger or MetricLogger()
     restore_cls = type(state)
-    jit_step = jax.jit(step_fn, donate_argnums=0)
+    jit_step = jax.jit(step_fn, donate_argnums=0) if cfg.jit_step else step_fn
 
     start_iter = 0
     if cfg.resume and cfg.ckpt_dir:
@@ -100,9 +106,26 @@ def train_loop(
                 set_data_state(blob["data_state"])
             print(f"resumed from {path} at iteration {start_iter}")
 
+    logger.set_iteration(start_iter)
     timer = StepTimer()
     last_print = time.time()
     last_save = time.time()
+    # Device metrics are buffered as ONE stacked device array per iteration
+    # (async dispatch, no sync) and fetched with a single device->host
+    # transfer per flush window.  Converting each metric scalar eagerly
+    # costs one readback round trip per metric per step — measured 0.25
+    # s/iter of pure tunnel latency on v5e (step itself: 0.03s).
+    pending: list = []  # (iteration, names, [M] device array)
+
+    def drain() -> None:
+        if not pending:
+            return
+        stacked = np.asarray(jnp.stack([row for _, _, row in pending]))
+        for (it, names, _), vals in zip(pending, stacked):
+            for name, val in zip(names, vals):
+                logger.plot(name, float(val))
+        pending.clear()
+
     for iteration in range(start_iter, cfg.iters):
         with timer.data():
             batch = next_batch()
@@ -113,11 +136,12 @@ def train_loop(
         else:
             state, metrics = jit_step(state, *batch, key)
 
-        for name, val in metrics.items():
-            logger.plot(name, val)
+        names = sorted(metrics)
+        pending.append((iteration, names, jnp.stack([metrics[k] for k in names])))
         if cfg.nan_check_every and iteration % cfg.nan_check_every == 0:
             from ..utils.debug import assert_finite
 
+            drain()
             assert_finite(metrics, f"metrics at iteration {iteration}")
         total, data_t = timer.lap()
         logger.plot("time", total)
@@ -154,7 +178,9 @@ def train_loop(
             print_now = True
         if print_now:
             last_print = time.time()
+            drain()
             logger.flush()
         logger.tick()
 
+    drain()
     return state

@@ -149,12 +149,23 @@ def make_acgan_trainer(
     disc_grad = jax.value_and_grad(disc_loss, has_aux=True)
     gen_grad = jax.value_and_grad(gen_loss)
 
-    def step_fn(state: AcganState, real_stack, label_stack, base_key):
-        """real_stack: [K, B, 3072] int-valued uint8 pixels; label_stack:
-        [K, B].  Dequantization + rescale to [-1,1] happens on device
-        (reference :201-202)."""
-        key = jax.random.fold_in(base_key, state.step)
+    # The training iteration is decomposed into substeps so it can run two
+    # ways with IDENTICAL numerics (same key derivations from
+    # (base_key, state.step, i)):
+    #   * fused: step_fn = one XLA program per G-iteration (fastest;
+    #     the critic loop is a static python loop — measured +8.8% on v5e
+    #     vs lax.scan, and scan bodies with the GP double-backward are also
+    #     miscompiled under model-axis sharding),
+    #   * unfused (TP-safe): gen_substep + K x critic_substep + bump_step,
+    #     each its own jit — required under a model axis because XLA's SPMD
+    #     partitioner miscompiles CHAINED grad+update iterations in one
+    #     program when any weight is sharded on the 'model' axis
+    #     (docs/XLA_GSPMD_SCAN_BUG.md).
 
+    def gen_substep(state: AcganState, base_key):
+        """G update (skipped at step 0, reference 'if iteration > 0').
+        Does NOT bump state.step."""
+        key = jax.random.fold_in(base_key, state.step)
         g_cost, g_grads = gen_grad(
             state.gen_params, state.disc_params, jax.random.fold_in(key, 1000)
         )
@@ -170,29 +181,51 @@ def make_acgan_trainer(
             lambda new, old: do_gen * new + (1.0 - do_gen) * old,
             new_gen_opt, state.gen_opt,
         )
-
-        def critic_body(carry, inp):
-            disc_params, disc_opt = carry
-            i, real_int, labels = inp
-            dq_key = jax.random.fold_in(key, 5000 + i)
-            real = 2.0 * (real_int.astype(jnp.float32) / 256.0 - 0.5)
-            real = real + jax.random.uniform(dq_key, real.shape, maxval=1.0 / 128)
-            (cost, metrics), grads = disc_grad(
-                disc_params, gen_params, real, labels, jax.random.fold_in(key, i)
-            )
-            disc_params, disc_opt = disc_optimizer.update(
-                grads, disc_opt, disc_params, state.step
-            )
-            return (disc_params, disc_opt), metrics
-
-        idx = jnp.arange(real_stack.shape[0])
-        (disc_params, disc_opt), mstack = jax.lax.scan(
-            critic_body, (state.disc_params, state.disc_opt),
-            (idx, real_stack, label_stack),
+        return (
+            AcganState(gen_params, state.disc_params, gen_opt, state.disc_opt, state.step),
+            g_cost,
         )
-        metrics = {k: v[-1] for k, v in mstack.items()}
+
+    def critic_substep(state: AcganState, i, real_int, labels, base_key):
+        """One critic iteration (i may be a python int or traced scalar).
+        Does NOT bump state.step."""
+        key = jax.random.fold_in(base_key, state.step)
+        dq_key = jax.random.fold_in(key, 5000 + i)
+        real = 2.0 * (real_int.astype(jnp.float32) / 256.0 - 0.5)
+        real = real + jax.random.uniform(dq_key, real.shape, maxval=1.0 / 128)
+        (cost, metrics), grads = disc_grad(
+            state.disc_params, state.gen_params, real, labels,
+            jax.random.fold_in(key, i),
+        )
+        disc_params, disc_opt = disc_optimizer.update(
+            grads, state.disc_opt, state.disc_params, state.step
+        )
+        return (
+            AcganState(state.gen_params, disc_params, state.gen_opt, disc_opt, state.step),
+            metrics,
+        )
+
+    def bump_step(state: AcganState) -> AcganState:
+        return AcganState(
+            state.gen_params, state.disc_params, state.gen_opt, state.disc_opt,
+            state.step + 1,
+        )
+
+    def step_fn(state: AcganState, real_stack, label_stack, base_key):
+        """real_stack: [K, B, 3072] int-valued uint8 pixels; label_stack:
+        [K, B].  Dequantization + rescale to [-1,1] happens on device
+        (reference :201-202)."""
+        state, g_cost = gen_substep(state, base_key)
+        for i in range(real_stack.shape[0]):
+            state, metrics = critic_substep(
+                state, i, real_stack[i], label_stack[i], base_key
+            )
         metrics["gen_cost"] = g_cost
-        return AcganState(gen_params, disc_params, gen_opt, disc_opt, state.step + 1), metrics
+        return bump_step(state), metrics
+
+    step_fn.gen_substep = gen_substep
+    step_fn.critic_substep = critic_substep
+    step_fn.bump_step = bump_step
 
     def dev_cost_fn(state: AcganState, real_int, labels, key):
         """Discriminator cost on a dev batch (the reference's dev_cost

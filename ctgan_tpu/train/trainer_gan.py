@@ -155,15 +155,18 @@ def make_gan_trainer(
 
     # ------------------------------------------------------------ step
 
-    def step_fn(state: GANState, real_stack: jax.Array, base_key: jax.Array):
-        """One generator iteration: G update (skipped at step 0, matching
-        'if iteration > 0' CT_gan_cifar.py:192) + critic_iters D updates.
+    # Decomposed into substeps so the iteration can run fused (one XLA
+    # program; static python critic loop — +8.8% on v5e vs lax.scan) or
+    # unfused (one jit per substep — required under model-axis sharding,
+    # where XLA's SPMD partitioner miscompiles chained grad+update
+    # iterations in one program: docs/XLA_GSPMD_SCAN_BUG.md).  Key
+    # derivations depend only on (base_key, state.step, i), so both
+    # execution modes are numerically identical.
 
-        ``real_stack``: [critic_iters, batch, features] real batches.
-        """
+    def gen_substep(state: GANState, base_key):
+        """G update (skipped at step 0, 'if iteration > 0'
+        CT_gan_cifar.py:192).  Does NOT bump state.step."""
         key = jax.random.fold_in(base_key, state.step)
-
-        # --- generator update
         (g_cost, g_grads) = gen_grad(
             state.gen_params, state.disc_params, jax.random.fold_in(key, 1000)
         )
@@ -179,39 +182,54 @@ def make_gan_trainer(
             lambda new, old: do_gen * new + (1.0 - do_gen) * old,
             new_gen_opt, state.gen_opt,
         )
-
-        # --- critic updates (scan over the stacked sub-batches)
-        def critic_body(carry, inp):
-            disc_params, disc_opt = carry
-            i, real = inp
-            (cost, metrics), grads = disc_grad(
-                disc_params, gen_params, real, jax.random.fold_in(key, i)
-            )
-            if cfg.clip_grad_value is not None:
-                grads = optim.clip_grads_by_value(grads, cfg.clip_grad_value)
-            if cfg.clip_global_norm is not None:
-                grads, gradnorm = optim.clip_grads_by_global_norm(
-                    grads, cfg.clip_global_norm
-                )
-                metrics["gradnorm"] = gradnorm
-            disc_params, disc_opt = disc_optimizer.update(
-                grads, disc_opt, disc_params, state.step
-            )
-            if cfg.mode == "wgan":
-                disc_params = optim.clip_params_by_value(disc_params, cfg.clip_value)
-            return (disc_params, disc_opt), metrics
-
-        idx = jnp.arange(real_stack.shape[0])
-        (disc_params, disc_opt), metric_stack = jax.lax.scan(
-            critic_body, (state.disc_params, state.disc_opt), (idx, real_stack)
+        return (
+            GANState(gen_params, state.disc_params, gen_opt, state.disc_opt, state.step),
+            g_cost,
         )
-        metrics = {k: v[-1] for k, v in metric_stack.items()}  # last critic iter
+
+    def critic_substep(state: GANState, i, real, base_key):
+        """One critic iteration.  Does NOT bump state.step."""
+        key = jax.random.fold_in(base_key, state.step)
+        (cost, metrics), grads = disc_grad(
+            state.disc_params, state.gen_params, real, jax.random.fold_in(key, i)
+        )
+        if cfg.clip_grad_value is not None:
+            grads = optim.clip_grads_by_value(grads, cfg.clip_grad_value)
+        if cfg.clip_global_norm is not None:
+            grads, gradnorm = optim.clip_grads_by_global_norm(
+                grads, cfg.clip_global_norm
+            )
+            metrics["gradnorm"] = gradnorm
+        disc_params, disc_opt = disc_optimizer.update(
+            grads, state.disc_opt, state.disc_params, state.step
+        )
+        if cfg.mode == "wgan":
+            disc_params = optim.clip_params_by_value(disc_params, cfg.clip_value)
+        return (
+            GANState(state.gen_params, disc_params, state.gen_opt, disc_opt, state.step),
+            metrics,
+        )
+
+    def bump_step(state: GANState) -> GANState:
+        return GANState(
+            state.gen_params, state.disc_params, state.gen_opt, state.disc_opt,
+            state.step + 1,
+        )
+
+    def step_fn(state: GANState, real_stack: jax.Array, base_key: jax.Array):
+        """One generator iteration: G update + critic_iters D updates.
+
+        ``real_stack``: [critic_iters, batch, features] real batches.
+        """
+        state, g_cost = gen_substep(state, base_key)
+        for i in range(real_stack.shape[0]):
+            state, metrics = critic_substep(state, i, real_stack[i], base_key)
         metrics["gen_cost"] = g_cost
+        return bump_step(state), metrics
 
-        new_state = GANState(
-            gen_params, disc_params, gen_opt, disc_opt, state.step + 1
-        )
-        return new_state, metrics
+    step_fn.gen_substep = gen_substep
+    step_fn.critic_substep = critic_substep
+    step_fn.bump_step = bump_step
 
     # ------------------------------------------------------- eval utils
 

@@ -44,6 +44,11 @@ class MetricLogger:
     def tick(self) -> None:
         self._iter += 1
 
+    def set_iteration(self, iteration: int) -> None:
+        """Fast-forward the iteration counter on checkpoint resume so log
+        lines continue from the true training iteration."""
+        self._iter = int(iteration)
+
     def flush(self) -> dict:
         """Print per-metric means since last flush; append ndjson; optionally
         save curve images and a log pickle.  Returns the flushed record."""
