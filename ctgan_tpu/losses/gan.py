@@ -87,7 +87,11 @@ def gradient_penalty(
     the double backward the reference built with ``tf.gradients`` inside the
     loss graph.
     """
-    alpha = jax.random.uniform(alpha_key, (real.shape[0], 1), jnp.float32)
+    # one alpha per example, broadcast over the remaining dims whatever the
+    # input rank (flat [B, D] for every bundled model; NHWC-safe too)
+    alpha = jax.random.uniform(
+        alpha_key, (real.shape[0],) + (1,) * (real.ndim - 1), jnp.float32
+    )
     interpolates = real + alpha * (fake - real)
 
     def scalar_d(x):

@@ -52,7 +52,20 @@ def main():
     ap.add_argument("--workloads", default="mnist,cifar,resnet,good64,lsun128")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tiny", action="store_true", help="tiny dims (CPU smoke)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU may be busy; the "
+                    "sitecustomize-registered axon backend ignores "
+                    "JAX_PLATFORMS, so this must flip jax.config before "
+                    "backend init)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -134,6 +147,86 @@ def main():
             lambda x: good64.good64_discriminator(x, dim),
             64 * 64 * 3, 4 if t else 64, k=2 if t else 5,
         )
+    if "io64" in wl:
+        # Input-path comparison on the 64x64 workload: HBM-resident
+        # DeviceSampler (selection in-step, zero host transfer) vs the
+        # native C++ BatchPipeline (host-threaded decode/flip/normalize +
+        # per-iteration host->device feed) — quantifies whether the native
+        # pipeline keeps a real device step fed.
+        from ctgan_tpu.data import DeviceSampler
+        from ctgan_tpu.data.native import NativePipeline, native_available
+
+        dim, batch, k = (8, 4, 2) if t else (64, 64, 5)
+        out_dim = 64 * 64 * 3
+        n = 256 if t else 4096
+        images = rng.integers(0, 256, size=(n, out_dim), dtype=np.uint8)
+        gen_fn = partial(good64.good64_generator, dim=dim)
+        disc_fn = lambda x: good64.good64_discriminator(x, dim)
+        cfg = GanConfig(batch_size=batch, critic_iters=k)
+        init_state, step_fn, _, _ = make_gan_trainer(gen_fn, disc_fn, cfg)
+        with init_context(seed=0) as ctx:
+            with rng_context(jax.random.PRNGKey(0)):
+                disc_fn(gen_fn(2))
+        gp, dp, _ = split_params(ctx.params, "Generator", "Discriminator")
+        key = jax.random.PRNGKey(0)
+
+        def run_path(name, next_stack, in_jit_dequant):
+            if in_jit_dequant:
+                def step(state, raw, key):
+                    real = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
+                    return step_fn(state, real, key)
+            else:
+                step = step_fn
+            jit_step = jax.jit(step, donate_argnums=0)
+            # fresh buffers per path: donate_argnums=0 consumes them
+            state = init_state(
+                jax.tree.map(lambda x: x.copy(), gp),
+                jax.tree.map(lambda x: x.copy(), dp),
+            )
+            state, m = jit_step(state, next_stack(0), key)
+            jax.block_until_ready(m)
+            state, m = jit_step(state, next_stack(1), key)
+            jax.block_until_ready(m)
+            t0 = time.perf_counter()
+            data_s = 0.0
+            for i in range(2, 2 + args.iters):
+                td = time.perf_counter()
+                stack = next_stack(i)
+                data_s += time.perf_counter() - td
+                state, m = jit_step(state, stack, key)
+            jax.block_until_ready(m)
+            sec = (time.perf_counter() - t0) / args.iters
+            print(json.dumps({
+                "workload": name,
+                "sec_per_iter": round(sec, 4),
+                "images_per_sec": round(batch * k / sec, 1),
+                "data_sec_per_iter": round(data_s / args.iters, 4),
+                "disc_cost": float(m["disc_cost"]),
+            }), flush=True)
+
+        sampler = DeviceSampler([images.astype("int32")], batch, k)
+        data_args = tuple(sampler.arrays)
+        run_path(
+            "good64_input_device_sampler",
+            lambda i: sampler.sample(jnp.asarray(i), data_args, sampler.host_perm(i)),
+            in_jit_dequant=True,
+        )
+        if native_available():
+            pipe = NativePipeline(
+                images, None, batch, k, chw=(3, 64, 64), flip=True,
+                scale=2.0 / 255.0, shift=-1.0, n_threads=2,
+            )
+            try:
+                run_path(
+                    "good64_input_native_pipeline",
+                    lambda i: jnp.asarray(pipe.next()[0]),
+                    in_jit_dequant=False,
+                )
+            finally:
+                pipe.close()
+        else:
+            print(json.dumps({"workload": "good64_input_native_pipeline",
+                              "error": "native library unavailable"}))
     if "lsun128" in wl:
         mcfg = (
             lsun128.Lsun128Config(dim_g_4=32, dim_g_8=16, dim_g_16=16, dim_g_32=8,
