@@ -9,6 +9,7 @@ pjit step, data-parallel over all available devices.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -127,7 +128,6 @@ def main(argv=None, cfg: Config | None = None):
     fixed_labels = jnp.asarray(np.array([0,1,2,3,4,5,6,7,8,9] * 10), jnp.int32)
     logger = MetricLogger(out_dir)
     jit_sample = jax.jit(sample_fn)
-    jit_generate = jax.jit(generate_fn, static_argnums=1)
     jit_dev_cost = jax.jit(dev_cost_fn)
 
     if tp:
@@ -157,27 +157,37 @@ def main(argv=None, cfg: Config | None = None):
         counter["i"] += 1
         return (jnp.asarray(i), data_args, sampler.host_perm(i))
 
+    # All dev batches in ONE jitted call: over a tunneled TPU every
+    # dispatch+readback costs a round trip; 10 sequential dev-cost calls
+    # per test were pure latency.  (Not vmapped — the pallas dropout kernel
+    # takes a scalar seed; a 10x-sized single batch is equivalent for the
+    # mean cost.)
+    dev_all_x = jnp.asarray(dev_images[: cfg.BATCH_SIZE * 10], jnp.int32)
+    dev_all_y = jnp.asarray(dev_labels[: cfg.BATCH_SIZE * 10], jnp.int32)
+
+    gen_chunk = 5000  # 10 big device calls per IS eval instead of 500 small
+
+    @partial(jax.jit, static_argnums=1)
+    def jit_generate_u8(state, n, key):
+        # uint8 on device: fetching 50k float32 samples over the TPU tunnel
+        # costs 4x the bytes for no benefit (the scorer quantizes anyway)
+        flat, _ = generate_fn(state, n, key)
+        return ((flat + 1.0) * (255.99 / 2)).astype(jnp.uint8)
+
     def test_fn(state, iteration):
         metrics = {}
-        costs = [
-            float(jit_dev_cost(
-                state,
-                jnp.asarray(dev_images[i : i + cfg.BATCH_SIZE], jnp.int32),
-                jnp.asarray(dev_labels[i : i + cfg.BATCH_SIZE], jnp.int32),
-                jax.random.PRNGKey(i),
-            ))
-            for i in range(0, cfg.BATCH_SIZE * 10, cfg.BATCH_SIZE)
-        ]
-        metrics["dev_cost"] = float(np.mean(costs))
+        metrics["dev_cost"] = float(
+            jit_dev_cost(state, dev_all_x, dev_all_y, jax.random.PRNGKey(1))
+        )
         samples = jit_sample(state, fixed_noise, fixed_labels, jax.random.PRNGKey(0))
         save_sample_grid(samples, (3, 32, 32), f"{out_dir}/samples_{iteration}.png")
         if cfg.INCEPTION_FREQUENCY and iteration % cfg.INCEPTION_FREQUENCY == cfg.INCEPTION_FREQUENCY - 1:
             outs = []
-            for i in range(0, cfg.inception_samples, 100):
-                flat, _ = jit_generate(state, 100, jax.random.PRNGKey(i))
-                outs.append(np.asarray(flat))
-            all_samples = ((np.concatenate(outs)[: cfg.inception_samples] + 1.0)
-                           * (255.99 / 2)).astype("int32")
+            for i in range(0, cfg.inception_samples, gen_chunk):
+                outs.append(np.asarray(
+                    jit_generate_u8(state, gen_chunk, jax.random.PRNGKey(i))
+                ))
+            all_samples = np.concatenate(outs)[: cfg.inception_samples].astype("int32")
             m, s = scorer.inception_score(all_samples)
             metrics["inception_50k"] = m
             metrics["inception_50k_std"] = s

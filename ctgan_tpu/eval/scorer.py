@@ -123,7 +123,9 @@ class TrainedScorer:
             save_checkpoint(self.cache_path, params)
         return float(acc)
 
-    def _apply(self, images: np.ndarray, batch_size: int = 500):
+    def _apply(self, images: np.ndarray, batch_size: int = 2500):
+        # large batches: on a tunneled TPU each dispatch+readback is a round
+        # trip, so 50k samples at batch 500 paid 100 of them per IS eval
         assert self.params is not None, "call fit() first or provide a cache"
         x = self._normalize(images)
 

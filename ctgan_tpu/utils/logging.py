@@ -53,7 +53,9 @@ class MetricLogger:
         """Print per-metric means since last flush; append ndjson; optionally
         save curve images and a log pickle.  Returns the flushed record."""
         prints = []
-        record: dict = {"iteration": self._iter, "time": time.time()}
+        # "wall_time": the step timer already emits a metric named "time";
+        # a colliding key silently destroyed the wall-clock column
+        record: dict = {"iteration": self._iter, "wall_time": time.time()}
         for name, vals in sorted(self._since_flush.items()):
             mean = float(np.mean(vals))
             record[name] = mean

@@ -11,6 +11,9 @@ while kill -0 "$FLAGSHIP_PID" 2>/dev/null; do sleep 60; done
 echo "=== flagship done $(date -u +%FT%TZ) ===" >> "$LOG"
 sleep 30
 
+echo "=== kernel checks $(date -u +%FT%TZ) ===" >> "$LOG"
+timeout 900 python tools/kernel_checks_tpu.py >> "$LOG" 2>&1
+
 echo "=== bench.py $(date -u +%FT%TZ) ===" >> "$LOG"
 timeout 2000 python bench.py >> "$LOG" 2>&1
 
