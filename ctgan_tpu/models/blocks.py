@@ -12,7 +12,7 @@ from typing import Callable
 
 import jax
 
-from ..ops import conv2d, deconv2d, depth_to_space, mean_pool, relu, upsample_nearest
+from ..ops import conv2d, deconv2d, depth_to_space, mean_pool, relu, upsample_conv2d, upsample_nearest
 
 __all__ = [
     "conv_mean_pool",
@@ -42,13 +42,29 @@ def mean_pool_conv(name, input_dim, output_dim, filter_size, inputs, *, he_init=
     return conv2d(name, input_dim, output_dim, filter_size, out, he_init=he_init, biases=biases)
 
 
+# The fused path computes the conv on the SMALL grid (exact parity-collapse
+# rewrite, ops/conv.py::upsample_conv2d) instead of materializing the 4x
+# nearest-upsampled activation; identical params, identical math.
+FUSE_UPSAMPLE_CONV = True
+
+
 def upsample_conv(name, input_dim, output_dim, filter_size, inputs, *, he_init=True, biases=True):
+    if FUSE_UPSAMPLE_CONV:
+        return upsample_conv2d(
+            name, input_dim, output_dim, filter_size, inputs,
+            he_init=he_init, biases=biases,
+        )
     out = upsample_nearest(inputs)
     return conv2d(name, input_dim, output_dim, filter_size, out, he_init=he_init, biases=biases)
 
 
 def scaled_upsample_conv(name, input_dim, output_dim, filter_size, inputs, *, he_init=True, biases=True):
     """UpsampleConv with gain 0.5 (wgan_LSUN_Bedrooms128.py:87-94)."""
+    if FUSE_UPSAMPLE_CONV:
+        return upsample_conv2d(
+            name, input_dim, output_dim, filter_size, inputs,
+            he_init=he_init, biases=biases, gain=0.5,
+        )
     out = upsample_nearest(inputs)
     return conv2d(
         name, input_dim, output_dim, filter_size, out, he_init=he_init, biases=biases, gain=0.5

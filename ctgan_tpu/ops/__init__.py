@@ -14,7 +14,7 @@ from .activations import (
     relu,
     softplus,
 )
-from .conv import conv1d, conv2d, deconv2d, separable_conv2d
+from .conv import conv1d, conv2d, deconv2d, separable_conv2d, upsample_conv2d
 from .dropout import dropout
 from .embedding import embedding
 from .linear import linear
@@ -37,7 +37,7 @@ from .weightnorm import l2_dense, wn_conv2d, wn_deconv2d, wn_dense
 __all__ = [
     "centered_softplus", "gated_nonlinearity", "leaky_relu", "log_sum_exp",
     "lrelu", "relu", "softplus",
-    "conv1d", "conv2d", "deconv2d", "separable_conv2d",
+    "conv1d", "conv2d", "deconv2d", "separable_conv2d", "upsample_conv2d",
     "dropout", "embedding", "linear", "minibatch_discrimination", "mlp",
     "gaussian_noise", "batchnorm", "cond_batchnorm", "cond_layernorm",
     "layernorm", "depth_to_space", "global_mean_pool", "mean_pool",

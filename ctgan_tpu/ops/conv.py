@@ -21,7 +21,93 @@ from ..core import store
 from ..core.matmul import conv as _mxu_conv, conv_transpose as _mxu_conv_transpose
 from .init import conv_filter_stdev, uniform_stdev
 
-__all__ = ["conv2d", "deconv2d", "conv1d", "separable_conv2d"]
+__all__ = ["conv2d", "deconv2d", "conv1d", "separable_conv2d", "upsample_conv2d"]
+
+
+def _upsample_collapse_map(filter_size: int) -> tuple[np.ndarray, int]:
+    """Constant map M[u, v, a, b, r, c] in {0,1} that rewrites
+    ``conv(upsample_nearest_2x(x), W)`` as a conv on the SMALL input.
+
+    Nearest 2x upsample means U(x)[p] = x[floor(p/2)], so the big-grid tap
+    at output (2i+a) with kernel row u reads x[i + floor((a+u-pad)/2)] —
+    per output parity ``a`` the K taps collapse onto a few small-grid
+    offsets.  M scatters each W[u, v] onto the collapsed kernel position
+    (r, c) of the parity-(a, b) sub-kernel.  Exact for any odd K including
+    zero-padding boundaries (p out of [0, 2H) iff floor(p/2) out of
+    [0, H)).
+    """
+    pad = (filter_size - 1) // 2
+    offs = {
+        a: [(a + u - pad) // 2 for u in range(filter_size)] for a in (0, 1)
+    }
+    maxoff = max(abs(o) for a in (0, 1) for o in offs[a])
+    ks = 2 * maxoff + 1
+    m = np.zeros((filter_size, filter_size, 2, 2, ks, ks), dtype="float32")
+    for a in (0, 1):
+        for b in (0, 1):
+            for u in range(filter_size):
+                for v in range(filter_size):
+                    m[u, v, a, b, offs[a][u] + maxoff, offs[b][v] + maxoff] = 1.0
+    return m, ks
+
+
+def upsample_conv2d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    he_init: bool = True,
+    weightnorm: bool = False,
+    biases: bool = True,
+    gain: float = 1.0,
+) -> jax.Array:
+    """``conv2d(name, ..., upsample_nearest(inputs))`` computed WITHOUT
+    materializing the 4x-sized intermediate.
+
+    Parameters (name, shape, init) are identical to the plain path, so
+    checkpoints are interchangeable; the parity-collapsed kernel
+    ``W'[r,c,i,(a,b,o)]`` is derived in-trace (a tiny einsum XLA folds into
+    the step) and one SAME conv on the small input + depth_to_space yields
+    the bit-equivalent output up to float reassociation.  On HBM-bound TPU
+    steps this removes a 4HW*Cin activation write+read per generator block
+    (the reference's UpsampleConv, CT_gan_cifar_resnet.py:103-109, runs the
+    conv on the upsampled grid)."""
+    ctx = store.current_context()
+    stdev = conv_filter_stdev(input_dim, output_dim, filter_size, 1, he_init)
+
+    def make_filters():
+        f = uniform_stdev(
+            ctx.rng, stdev, (filter_size, filter_size, input_dim, output_dim)
+        )
+        return f * gain
+
+    filters = store.param(name + ".Filters", make_filters)
+    if weightnorm:
+        filters = _weightnormed(name, filters, (0, 1, 2))
+
+    m, ks = _upsample_collapse_map(filter_size)
+    # [ks, ks, Cin, a, b, Cout] -> [ks, ks, Cin, 4*Cout] with (a, b, o)
+    # channel order matching depth_to_space's [block, block, C] layout
+    w4 = jnp.einsum(
+        "uvio,uvabrc->rciabo", filters, jnp.asarray(m, filters.dtype)
+    ).reshape(ks, ks, input_dim, 4 * output_dim)
+
+    small = _mxu_conv(
+        inputs,
+        w4,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    n, h, w, _ = small.shape
+    out = small.reshape(n, h, w, 2, 2, output_dim)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, output_dim)
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        out = out + b.astype(out.dtype)
+    return out
 
 
 def _ar_mask(filter_size: int, input_dim: int, output_dim: int, mask_type: str, n_channels: int) -> np.ndarray:

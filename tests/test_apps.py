@@ -59,7 +59,9 @@ def test_resnet_app(tmp_path):
 
 
 @slow
-@pytest.mark.parametrize("arch", ["good", "dcgan", "fc"])
+@pytest.mark.parametrize(
+    "arch", ["good", "dcgan", "fc", "multiplicative", "crippled", "resnet101"]
+)
 def test_64x64_app(tmp_path, arch):
     from ctgan_tpu.apps.ct_gan_64x64 import Config, main
 

@@ -4,6 +4,7 @@ embedding, KL utils, batchnorm blend mode."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ctgan_tpu.core import apply_context, init_context
 from ctgan_tpu.ops import (
@@ -127,3 +128,97 @@ def test_batchnorm_blend_mode_runs():
     with apply_context(ctx.params, mutable_state=dict(ctx.state)):
         y = batchnorm("BN", jnp.asarray(x), mode="blend")
     assert np.isfinite(np.asarray(y)).all()
+
+
+class TestUpsampleConvFused:
+    """ops.upsample_conv2d must be EXACTLY conv2d(upsample_nearest(x))
+    computed on the small grid (parity-collapse rewrite) — same params,
+    same values, same gradients."""
+
+    def _pair(self, k, h, w, cin, cout, bias, gain, seed):
+        import jax
+        import jax.numpy as jnp
+        from ctgan_tpu.core import apply_context, init_context, rng_context
+        from ctgan_tpu.ops import conv2d, upsample_conv2d
+        from ctgan_tpu.ops.pool import upsample_nearest
+
+        x = jnp.asarray(
+            np.random.default_rng(seed).normal(size=(2, h, w, cin)).astype("f4")
+        )
+        with init_context(seed=seed) as ctx:
+            with rng_context(jax.random.PRNGKey(0)):
+                upsample_conv2d("U", cin, cout, k, x, biases=bias, gain=gain)
+        params = dict(ctx.params)
+
+        def fused(p, x):
+            with apply_context(p):
+                return upsample_conv2d("U", cin, cout, k, x, biases=bias, gain=gain)
+
+        def naive(p, x):
+            with apply_context(p):
+                return conv2d("U", cin, cout, k, upsample_nearest(x), biases=bias, gain=gain)
+
+        return params, x, fused, naive
+
+    @pytest.mark.parametrize("k", [1, 3, 5])
+    @pytest.mark.parametrize("hw", [(4, 4), (5, 7)])
+    def test_values_match(self, k, hw):
+        params, x, fused, naive = self._pair(k, *hw, 3, 6, True, 1.0, seed=k)
+        a = np.asarray(fused(params, x))
+        b = np.asarray(naive(params, x))
+        assert a.shape == b.shape == (2, 2 * hw[0], 2 * hw[1], 6)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_gain_and_no_bias(self):
+        params, x, fused, naive = self._pair(3, 6, 6, 4, 4, False, 0.5, seed=9)
+        np.testing.assert_allclose(
+            np.asarray(fused(params, x)), np.asarray(naive(params, x)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_gradients_match(self):
+        import jax
+
+        params, x, fused, naive = self._pair(3, 4, 4, 3, 5, True, 1.0, seed=3)
+
+        def loss(fn):
+            def f(p, x):
+                return (fn(p, x) ** 2).sum()
+            return jax.grad(f, argnums=(0, 1))(params, x)
+
+        ga, gxa = loss(fused)
+        gb, gxb = loss(naive)
+        np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), rtol=1e-4, atol=1e-4)
+        for name in ga:
+            np.testing.assert_allclose(
+                np.asarray(ga[name]), np.asarray(gb[name]), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_blocks_use_fused_path_same_params(self):
+        """blocks.upsample_conv with fuse on/off builds identical param
+        trees and outputs."""
+        import jax
+        import jax.numpy as jnp
+        from ctgan_tpu.core import apply_context, init_context, rng_context
+        from ctgan_tpu.models import blocks
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 4, 4, 8)).astype("f4")
+        )
+        outs, ptrees = [], []
+        for fuse in (True, False):
+            old = blocks.FUSE_UPSAMPLE_CONV
+            blocks.FUSE_UPSAMPLE_CONV = fuse
+            try:
+                with init_context(seed=5) as ctx:
+                    with rng_context(jax.random.PRNGKey(0)):
+                        out = blocks.upsample_conv("G.Up", 8, 4, 3, x)
+                outs.append(np.asarray(out))
+                ptrees.append({k: np.asarray(v) for k, v in ctx.params.items()})
+            finally:
+                blocks.FUSE_UPSAMPLE_CONV = old
+        assert sorted(ptrees[0]) == sorted(ptrees[1])
+        for k in ptrees[0]:
+            np.testing.assert_array_equal(ptrees[0][k], ptrees[1][k])
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
