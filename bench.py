@@ -176,10 +176,17 @@ def main() -> None:
     jax.block_until_ready(metrics)
     compile_s = time.perf_counter() - t_compile
 
+    # Accumulate a device scalar across EVERY iteration and fetch it once:
+    # the final value depends on the whole step chain, so the timing cannot
+    # be fooled by a runtime whose block_until_ready under-waits on donated
+    # buffers (observed on the tunneled backend: end-block timed 0.0032
+    # s/iter for a step whose speed-of-light is ~13 ms).
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for i in range(WARMUP_ITERS, WARMUP_ITERS + MEASURE_ITERS):
         state, metrics = jit_step(state, jnp.asarray(i), data_args, sampler.host_perm(i), key)
-    jax.block_until_ready(metrics)
+        acc = acc + metrics["disc_cost"]
+    acc_value = float(acc)  # one readback, full dependency chain
     elapsed = time.perf_counter() - t0
 
     sec_per_iter = elapsed / MEASURE_ITERS
@@ -194,6 +201,7 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "config": f"dim={DIM} batch={BATCH} critic_iters={CRITIC_ITERS} mode=wgan-CT+ACGAN",
         "final_disc_cost": float(np.asarray(metrics["disc_cost"])),
+        "mean_disc_cost": round(acc_value / MEASURE_ITERS, 4),
     }
     print(json.dumps(result))
 

@@ -71,10 +71,13 @@ def main() -> None:
         for i in range(3):
             state, m = jit_step(state, jnp.asarray(i), data_args, key)
         jax.block_until_ready(m)
+        # device accumulator: forces the full chain into the timed region
         t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
         for i in range(3, 3 + args.iters):
             state, m = jit_step(state, jnp.asarray(i), data_args, key)
-        jax.block_until_ready(m)
+            acc = acc + m["disc_cost"]
+        float(acc)
         sec = (time.perf_counter() - t0) / args.iters
         results[fused] = sec
         print(json.dumps({

@@ -33,10 +33,14 @@ def _measure(name, init_state, step_fn, make_batch, batch_size, critic_iters, it
     compile_s = time.perf_counter() - t0
     state, metrics = jit_step(state, *make_batch(1), key)
     jax.block_until_ready(metrics)
+    # device-side accumulator forces the full step chain into the timed
+    # region (see bench.py — end-block under-waits on this runtime)
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for i in range(2, 2 + iters):
         state, metrics = jit_step(state, *make_batch(i), key)
-    jax.block_until_ready(metrics)
+        acc = acc + metrics["disc_cost"]
+    float(acc)
     sec = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "workload": name,
