@@ -162,34 +162,46 @@ def main() -> None:
         [train_x.astype("int32"), train_y.astype("int32")], BATCH, CRITIC_ITERS
     )
 
-    def full_step(state, step_idx, data, perm, key):
-        real_stack, label_stack = sampler.sample(step_idx, data, perm)
-        return step_fn(state, real_stack, label_stack, key)
+    # Timing on the tunneled backend is hostile in BOTH easy directions:
+    # block_until_ready under-waits on donated buffers (an impossible
+    # 0.0032 s/iter was observed for a step whose HBM roofline is 24 ms),
+    # and eager per-iteration ops pay a ~1.4 s relay round trip each
+    # (27.8 "s/iter" observed).  So: run K full training iterations inside
+    # ONE jitted lax.scan (single dispatch, single value readback) for two
+    # window sizes and difference them — constant dispatch/readback/compile
+    # overhead cancels exactly, leaving pure per-iteration device time.
+    def multi_step(state, data, key, k):
+        def body(carry, i):
+            real_stack, label_stack = sampler.sample(i, data)
+            carry, m = step_fn(carry, real_stack, label_stack, key)
+            return carry, m["disc_cost"]
 
-    jit_step = jax.jit(full_step, donate_argnums=0)
+        return jax.lax.scan(body, state, jnp.arange(k))
+
+    jit_multi = jax.jit(multi_step, static_argnums=3, donate_argnums=0)
     key = jax.random.PRNGKey(0)
     data_args = tuple(sampler.arrays)
+    K1, K2 = MEASURE_ITERS, MEASURE_ITERS * 5
 
     t_compile = time.perf_counter()
-    for i in range(WARMUP_ITERS):
-        state, metrics = jit_step(state, jnp.asarray(i), data_args, sampler.host_perm(i), key)
-    jax.block_until_ready(metrics)
+    state1, costs = jit_multi(state, data_args, key, K1)  # compile K1
+    float(costs[-1])
+    state2, costs = jit_multi(state1, data_args, key, K2)  # compile K2
+    float(costs[-1])
     compile_s = time.perf_counter() - t_compile
 
-    # Accumulate a device scalar across EVERY iteration and fetch it once:
-    # the final value depends on the whole step chain, so the timing cannot
-    # be fooled by a runtime whose block_until_ready under-waits on donated
-    # buffers (observed on the tunneled backend: end-block timed 0.0032
-    # s/iter for a step whose speed-of-light is ~13 ms).
     t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
-    for i in range(WARMUP_ITERS, WARMUP_ITERS + MEASURE_ITERS):
-        state, metrics = jit_step(state, jnp.asarray(i), data_args, sampler.host_perm(i), key)
-        acc = acc + metrics["disc_cost"]
-    acc_value = float(acc)  # one readback, full dependency chain
-    elapsed = time.perf_counter() - t0
+    state3, costs = jit_multi(state2, data_args, key, K1)
+    final_cost = float(costs[-1])
+    t_k1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state4, costs = jit_multi(state3, data_args, key, K2)
+    final_cost = float(costs[-1])
+    t_k2 = time.perf_counter() - t0
+    elapsed = t_k2 - t_k1
+    MEASURED = K2 - K1
 
-    sec_per_iter = elapsed / MEASURE_ITERS
+    sec_per_iter = elapsed / MEASURED
     images_per_sec = BATCH * CRITIC_ITERS / sec_per_iter
     result = {
         "metric": METRIC_NAME,
@@ -197,11 +209,12 @@ def main() -> None:
         "unit": UNIT,
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "sec_per_iter": round(sec_per_iter, 4),
+        "timing": f"scan-window diff ({K2}-{K1} iters), overhead-cancelling",
+        "window_secs": [round(t_k1, 2), round(t_k2, 2)],
         "compile_plus_warmup_sec": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         "config": f"dim={DIM} batch={BATCH} critic_iters={CRITIC_ITERS} mode=wgan-CT+ACGAN",
-        "final_disc_cost": float(np.asarray(metrics["disc_cost"])),
-        "mean_disc_cost": round(acc_value / MEASURE_ITERS, 4),
+        "final_disc_cost": final_cost,
     }
     print(json.dumps(result))
 

@@ -44,8 +44,14 @@ def mean_pool_conv(name, input_dim, output_dim, filter_size, inputs, *, he_init=
 
 # The fused path computes the conv on the SMALL grid (exact parity-collapse
 # rewrite, ops/conv.py::upsample_conv2d) instead of materializing the 4x
-# nearest-upsampled activation; identical params, identical math.
-FUSE_UPSAMPLE_CONV = True
+# nearest-upsampled activation; identical params, identical math.  Default
+# OFF: on v5e the naive path measured 7% faster for the flagship step
+# (24.5 vs 26.3 ms/iter, tools/ab_fused_upsample.py with overhead-cancelling
+# timing) — XLA fuses the nearest-upsample broadcast into the conv input
+# read, and the collapsed 4*Cout kernel costs more MXU time than the HBM it
+# saves at these sizes.  Flip per-model when activations dominate (e.g.
+# larger spatial dims / memory-limited configs).
+FUSE_UPSAMPLE_CONV = False
 
 
 def upsample_conv(name, input_dim, output_dim, filter_size, inputs, *, he_init=True, biases=True):

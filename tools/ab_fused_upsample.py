@@ -66,19 +66,32 @@ def main() -> None:
             rs, ls = sampler.sample(i, data)
             return step_fn(state, rs, ls, key)
 
-        jit_step = jax.jit(full_step, donate_argnums=0)
+        # scan-window-difference timing (see bench.py)
+        def multi(state, data, key, k):
+            def body(carry, i):
+                rs, ls = sampler.sample(i, data)
+                carry, m = step_fn(carry, rs, ls, key)
+                return carry, m["disc_cost"]
+
+            return jax.lax.scan(body, state, jnp.arange(k))
+
+        jit_multi = jax.jit(multi, static_argnums=3, donate_argnums=0)
         key = jax.random.PRNGKey(0)
-        for i in range(3):
-            state, m = jit_step(state, jnp.asarray(i), data_args, key)
-        jax.block_until_ready(m)
-        # device accumulator: forces the full chain into the timed region
+        k1, k2 = args.iters, args.iters * 5
+        state, costs = jit_multi(state, data_args, key, k1)
+        float(costs[-1])
+        state, costs = jit_multi(state, data_args, key, k2)
+        float(costs[-1])
         t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.float32)
-        for i in range(3, 3 + args.iters):
-            state, m = jit_step(state, jnp.asarray(i), data_args, key)
-            acc = acc + m["disc_cost"]
-        float(acc)
-        sec = (time.perf_counter() - t0) / args.iters
+        state, costs = jit_multi(state, data_args, key, k1)
+        float(costs[-1])
+        t_k1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, costs = jit_multi(state, data_args, key, k2)
+        m = {"disc_cost": costs[-1]}
+        float(costs[-1])
+        t_k2 = time.perf_counter() - t0
+        sec = (t_k2 - t_k1) / (k2 - k1)
         results[fused] = sec
         print(json.dumps({
             "arm": "fused" if fused else "naive",
