@@ -119,5 +119,10 @@ def maybe_mesh(n_devices: int | None = None, model_axis: int = 1):
     from ctgan_tpu.parallel import make_mesh
 
     n = n_devices or len(devs)
+    if n < model_axis:
+        raise ValueError(
+            f"model_axis={model_axis} needs at least that many devices; "
+            f"only {n} available (of {len(devs)} total)"
+        )
     n -= n % model_axis
     return make_mesh(devs[:n], data=n // model_axis, model=model_axis)

@@ -38,20 +38,24 @@ class _Streams:
         self.counters: dict[str, int] = {}
 
     def next(self, stream: str) -> jax.Array:
-        if stream not in self.keys:
-            if "default" in self.keys:
-                # Derive a missing stream from the default key so callers can
-                # pass one key for everything.
-                self.keys[stream] = jax.random.fold_in(
-                    self.keys["default"], _stable_hash(stream)
-                )
-            else:
-                raise KeyError(
-                    f"No RNG stream {stream!r}; active streams: {list(self.keys)}"
-                )
         c = self.counters.get(stream, 0)
         self.counters[stream] = c + 1
-        return jax.random.fold_in(self.keys[stream], c)
+        if stream in self.keys:
+            base = self.keys[stream]
+        elif "default" in self.keys:
+            # Derive a missing stream from the default key so callers can
+            # pass one key for everything.  Recomputed on every call, NEVER
+            # cached: under ``jax.checkpoint`` the derivation runs inside the
+            # remat sub-trace, and caching that sub-trace tracer in a
+            # _Streams that outlives it leaks it into the next trace
+            # (UnexpectedTracerError when two workloads share a process —
+            # round-2 bench_all failure).
+            base = jax.random.fold_in(self.keys["default"], _stable_hash(stream))
+        else:
+            raise KeyError(
+                f"No RNG stream {stream!r}; active streams: {list(self.keys)}"
+            )
+        return jax.random.fold_in(base, c)
 
 
 def _stable_hash(s: str) -> int:

@@ -74,9 +74,21 @@ class Context:
         create: bool,
         rng: np.random.Generator | None = None,
         mutable_state: MutableMapping[str, jax.Array] | None = None,
+        state_create: bool | None = None,
     ):
         self.params = params
         self.create = create
+        # ``state()`` may create missing entries in init contexts and in
+        # apply contexts that explicitly opted in by passing a
+        # ``mutable_state`` dict (recalibration sweeps start from empty
+        # statistics, train_loop_2.py:236-254).  Plain apply contexts raise
+        # instead — a typo'd BN state name must not silently yield fresh
+        # statistics.
+        self.state_create = (
+            state_create
+            if state_create is not None
+            else (create or mutable_state is not None)
+        )
         self.rng = rng
         self.aliases: dict[str, str] = {}
         self.scopes: list[str] = []
@@ -189,14 +201,22 @@ def param(name: str, init_fn: Callable[[], np.ndarray]) -> jax.Array:
 def state(name: str, init_fn: Callable[[], np.ndarray]) -> jax.Array:
     """Create-or-fetch non-trainable state (e.g. BN moving statistics).
 
-    Unlike ``param``, missing state is created even in apply contexts —
-    recalibration sweeps legitimately start from empty statistics
-    (train_loop_2.py:236-254), and state is bookkeeping, not learnable.
+    Missing state is created in init contexts and in apply contexts that
+    passed an explicit ``mutable_state`` dict — recalibration sweeps
+    legitimately start from empty statistics (train_loop_2.py:236-254).  An
+    apply context *without* ``mutable_state`` raises on a missing name so a
+    typo cannot silently substitute fresh statistics.
     """
     ctx = current_context()
     full = ctx.resolve(_full_name(name))
     if full in ctx.state:
         return ctx.state[full]
+    if not ctx.state_create:
+        raise KeyError(
+            f"State {full!r} not found in apply context "
+            f"({len(ctx.state)} state entries available). Pass "
+            f"mutable_state= to apply_context to allow creation."
+        )
     ctx.state[full] = jax.numpy.asarray(np.asarray(init_fn()))
     return ctx.state[full]
 

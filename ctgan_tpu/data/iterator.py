@@ -26,6 +26,20 @@ import numpy as np
 __all__ = ["EpochIterator", "stack_batches", "DeviceSampler"]
 
 
+def _cpu_epoch_perm(seed: int, epoch: int, n: int) -> np.ndarray:
+    """``jax.random.permutation(fold_in(PRNGKey(seed), epoch), n)`` evaluated
+    on the host CPU backend — bit-identical to DeviceSampler's in-trace
+    fallback without a device round trip (tunneled TPUs pay ~1s per eager
+    device op)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return np.asarray(jax.random.permutation(key, n))
+    with jax.default_device(cpu):
+        return np.asarray(jax.random.permutation(key, n))
+
+
 class EpochIterator:
     """Shuffled epoch batches over one or more aligned arrays.
 
@@ -137,10 +151,16 @@ class DeviceSampler:
 
     def host_perm(self, step: int) -> jax.Array:
         """The (seed, epoch)-deterministic shuffle for ``step``'s epoch,
-        computed on host and cached; pass as ``sample``'s ``perm``."""
+        computed once per epoch on the host CPU backend and cached; pass as
+        ``sample``'s ``perm``.
+
+        Derived from the SAME ``jax.random`` stream as ``sample``'s in-trace
+        fallback, so a given seed yields an identical data order whether or
+        not the host-permutation fast path is used (a resumed run may switch
+        modes without changing the batch sequence)."""
         epoch = int(step) // self.iters_per_epoch
         cached = getattr(self, "_perm_cache", None)
         if cached is None or cached[0] != epoch:
-            perm = np.random.default_rng((self.seed, epoch)).permutation(self.n)
+            perm = _cpu_epoch_perm(self.seed, epoch, self.n)
             self._perm_cache = (epoch, jnp.asarray(perm, jnp.int32))
         return self._perm_cache[1]

@@ -86,6 +86,8 @@ def _packed_or_single(wt: int, val: Any, fmt: str, size: int) -> list:
         return list(struct.unpack(f"<{len(val) // size}{fmt}", val))
     if fmt == "f":
         return [struct.unpack("<f", struct.pack("<I", val))[0]]
+    if fmt == "d":
+        return [struct.unpack("<d", struct.pack("<Q", val))[0]]
     return [val]
 
 

@@ -74,6 +74,12 @@ def upsample_conv2d(
     steps this removes a 4HW*Cin activation write+read per generator block
     (the reference's UpsampleConv, CT_gan_cifar_resnet.py:103-109, runs the
     conv on the upsampled grid)."""
+    if filter_size % 2 != 1:
+        raise ValueError(
+            f"upsample_conv2d requires an odd filter_size (got {filter_size}): "
+            "the parity-collapse map assumes the symmetric (K-1)//2 padding "
+            "that SAME convs only have for odd kernels"
+        )
     ctx = store.current_context()
     stdev = conv_filter_stdev(input_dim, output_dim, filter_size, 1, he_init)
 

@@ -34,24 +34,29 @@ __all__ = ["LoopConfig", "train_loop"]
 
 
 def _prune_checkpoints(ckpt_dir: str, keep: int, prefix: str = "ckpt") -> None:
-    """Delete all but the newest ``keep`` checkpoints (by step number)."""
-    cands = [
-        f
-        for f in os.listdir(ckpt_dir)
-        if f.startswith(prefix) and f.endswith(".npz")
-    ]
+    """Delete all but the newest ``keep`` checkpoints (by step number).
+
+    Files whose step does not parse (e.g. a manually kept ``ckpt_best.npz``)
+    are left alone; legacy ``.json`` sidecars are pruned with their ``.npz``.
+    """
 
     def step_of(f):
         try:
             return int(f[len(prefix) + 1 : -4])
         except ValueError:
-            return -1
+            return None
 
+    cands = [
+        f
+        for f in os.listdir(ckpt_dir)
+        if f.startswith(prefix) and f.endswith(".npz") and step_of(f) is not None
+    ]
     for f in sorted(cands, key=step_of)[:-keep]:
-        try:
-            os.unlink(os.path.join(ckpt_dir, f))
-        except OSError:
-            pass
+        for path in (os.path.join(ckpt_dir, f), os.path.join(ckpt_dir, f) + ".json"):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 @dataclass

@@ -83,7 +83,9 @@ def make_acgan_trainer(
     disc_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
     kp1, kp2, kp3 = cfg.kp
     if cfg.remat:
-        disc_fn = jax.checkpoint(disc_fn, static_argnums=(2, 3, 4))
+        from .remat import make_remat_disc
+
+        disc_fn = make_remat_disc(disc_fn, n_static_tail=3)
 
     def _rand_labels(key, n):
         # tf.cast(tf.random_uniform([n])*10, tf.int32) (:317)

@@ -99,7 +99,9 @@ def make_gan_trainer(
     is_ct = cfg.mode in ("wgan-CT", "wgan-ct")
     is_gp = is_ct or cfg.mode == "wgan-gp"
     if cfg.remat:
-        disc_fn = jax.checkpoint(disc_fn)
+        from .remat import make_remat_disc
+
+        disc_fn = make_remat_disc(disc_fn)
 
     # ---------------------------------------------------------- losses
 

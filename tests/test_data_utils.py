@@ -159,3 +159,14 @@ def test_random_search_sharding():
     s1 = random_search(grid, 2, 1)
     assert len(s0) + len(s1) == 8
     assert not any(c in s1 for c in s0)
+
+
+def test_host_perm_matches_in_trace_permutation():
+    """ADVICE r2: host_perm must yield the SAME data order as the in-trace
+    jax.random fallback for a given seed, so resumed runs can switch modes."""
+    data = np.arange(64).reshape(64, 1).astype("float32")
+    s = DeviceSampler([data], batch_size=8, critic_iters=2, seed=7)
+    for step in (0, 3, 5):  # crosses an epoch boundary (iters_per_epoch=4)
+        via_host = np.asarray(s.sample(jnp.asarray(step), perm=s.host_perm(step)))
+        via_trace = np.asarray(s.sample(jnp.asarray(step)))
+        np.testing.assert_array_equal(via_host, via_trace)

@@ -60,3 +60,18 @@ def test_time_based_print(tmp_path, capsys):
     train_loop(state, _toy_step, _batches, jax.random.PRNGKey(0), cfg)
     out = capsys.readouterr().out
     assert out.count("cost") >= 2
+
+
+def test_prune_checkpoints_skips_unparseable_and_sidecars(tmp_path):
+    """ADVICE r2: a manually kept ckpt_best.npz must survive pruning, and a
+    pruned checkpoint's legacy .json sidecar goes with it."""
+    from ctgan_tpu.train.loop import _prune_checkpoints
+
+    d = str(tmp_path)
+    for step in (100, 200, 300, 400):
+        open(os.path.join(d, f"ckpt_{step}.npz"), "w").close()
+    open(os.path.join(d, "ckpt_100.npz.json"), "w").close()
+    open(os.path.join(d, "ckpt_best.npz"), "w").close()
+    _prune_checkpoints(d, keep=2)
+    left = sorted(os.listdir(d))
+    assert left == ["ckpt_300.npz", "ckpt_400.npz", "ckpt_best.npz"]

@@ -222,3 +222,18 @@ class TestUpsampleConvFused:
         for k in ptrees[0]:
             np.testing.assert_array_equal(ptrees[0][k], ptrees[1][k])
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_conv2d_rejects_even_filter():
+    """ADVICE r2: the parity-collapse map is only exact for odd K (symmetric
+    SAME padding); an even K must raise, not silently mismatch."""
+    import pytest
+
+    from ctgan_tpu.core import init_context, rng_context
+    from ctgan_tpu.ops import upsample_conv2d
+
+    x = jnp.ones((1, 4, 4, 2))
+    with init_context(seed=0):
+        with rng_context(jax.random.PRNGKey(0)):
+            with pytest.raises(ValueError, match="odd filter_size"):
+                upsample_conv2d("U", 2, 2, 4, x)
