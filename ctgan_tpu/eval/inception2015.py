@@ -72,6 +72,21 @@ def _same_pad(in_size: int, stride: int, ksize: int) -> tuple[int, int]:
     return pad // 2, pad - pad // 2
 
 
+# Every op ``_Executor.run`` can evaluate.  ``tools/calibrate_inception.py``
+# checks a user-supplied graph against this set BEFORE execution so coverage
+# gaps surface as a named report, not a mid-eval crash.
+SUPPORTED_OPS = frozenset({
+    "Const", "Identity", "CheckNumerics", "StopGradient",
+    "PlaceholderWithDefault", "ExpandDims", "Cast", "ResizeBilinear",
+    "Sub", "Mul", "Add", "AddV2", "BiasAdd", "Conv2D",
+    "BatchNormWithGlobalNormalization", "Relu", "Relu6", "MaxPool",
+    "AvgPool", "Concat", "ConcatV2", "MatMul", "Reshape", "Squeeze",
+    "Softmax", "Pad", "Shape", "StridedSlice", "Slice", "Pack", "Fill",
+    "Rsqrt", "Sqrt", "Maximum", "Minimum", "RealDiv", "Div", "Neg",
+    "Exp", "Tanh", "Sigmoid", "Mean",
+})
+
+
 class _Executor:
     """Interprets the frozen graph's op set with jax.numpy/lax ops.
 
@@ -86,6 +101,29 @@ class _Executor:
             for n in nodes
             if n.op == "Const"
         }
+
+    def reachable(self, target: str, feeds: tuple = ()) -> list[NodeDef]:
+        """All nodes evaluated for ``target`` given ``feeds`` overridden —
+        the exact execution frontier (fed nodes' inputs are NOT visited)."""
+        fed = {self._base(f) for f in feeds}
+        seen: dict[str, NodeDef] = {}
+        stack = [self._base(target)]
+        while stack:
+            name = stack.pop()
+            if name in seen or name in fed:
+                continue
+            node = self.nodes[name]
+            seen[name] = node
+            stack.extend(self._base(i) for i in node.inputs)
+        return list(seen.values())
+
+    def unsupported(self, target: str, feeds: tuple = ()) -> dict[str, list[str]]:
+        """op -> node names for reachable ops outside SUPPORTED_OPS."""
+        gaps: dict[str, list[str]] = {}
+        for n in self.reachable(target, feeds):
+            if n.op not in SUPPORTED_OPS:
+                gaps.setdefault(n.op, []).append(n.name)
+        return gaps
 
     def const(self, name: str) -> np.ndarray:
         return self.consts[self._base(name)]
@@ -197,6 +235,79 @@ class _Executor:
                 return t * inv + (beta - m * inv)
             if op == "Relu":
                 return jnp.maximum(value(node.inputs[0]), 0)
+            if op == "Relu6":
+                return jnp.clip(value(node.inputs[0]), 0, 6)
+            if op == "Pad":
+                x = value(node.inputs[0])
+                pads = np.asarray(self.const(node.inputs[1])).astype(int)
+                return jnp.pad(x, [tuple(p) for p in pads])
+            if op == "Shape":
+                return np.asarray(value(node.inputs[0]).shape, np.int32)
+            if op == "Fill":
+                dims = np.asarray(value(node.inputs[0])).astype(int)
+                return jnp.full(tuple(dims), value(node.inputs[1]))
+            if op == "Pack":
+                axis_a = attr(node, "axis")
+                axis = axis_a.i if axis_a is not None else 0
+                return jnp.stack([jnp.asarray(value(i)) for i in node.inputs], axis=axis)
+            if op == "Slice":
+                x = value(node.inputs[0])
+                begin = np.asarray(self.const(node.inputs[1])).astype(int)
+                size = np.asarray(self.const(node.inputs[2])).astype(int)
+                idx = tuple(
+                    slice(b, x.shape[d] if s == -1 else b + s)
+                    for d, (b, s) in enumerate(zip(begin, size))
+                )
+                return x[idx]
+            if op == "StridedSlice":
+                # const begin/end/strides with begin/end/shrink masks — the subset
+                # frozen inference graphs use (no ellipsis/new-axis masks)
+                x = value(node.inputs[0])
+                begin = np.asarray(self.const(node.inputs[1])).astype(int)
+                end = np.asarray(self.const(node.inputs[2])).astype(int)
+                strides = np.asarray(self.const(node.inputs[3])).astype(int)
+                bm = attr(node, "begin_mask")
+                em = attr(node, "end_mask")
+                sm = attr(node, "shrink_axis_mask")
+                bm = bm.i if bm is not None else 0
+                em = em.i if em is not None else 0
+                sm = sm.i if sm is not None else 0
+                idx = []
+                for d in range(len(begin)):
+                    if sm & (1 << d):
+                        idx.append(int(begin[d]))
+                        continue
+                    b = None if bm & (1 << d) else int(begin[d])
+                    e = None if em & (1 << d) else int(end[d])
+                    idx.append(slice(b, e, int(strides[d])))
+                return x[tuple(idx)]
+            if op == "Rsqrt":
+                return lax.rsqrt(value(node.inputs[0]))
+            if op == "Sqrt":
+                return jnp.sqrt(value(node.inputs[0]))
+            if op == "Maximum":
+                return jnp.maximum(value(node.inputs[0]), value(node.inputs[1]))
+            if op == "Minimum":
+                return jnp.minimum(value(node.inputs[0]), value(node.inputs[1]))
+            if op in ("RealDiv", "Div"):
+                return value(node.inputs[0]) / value(node.inputs[1])
+            if op == "Neg":
+                return -value(node.inputs[0])
+            if op == "Exp":
+                return jnp.exp(value(node.inputs[0]))
+            if op == "Tanh":
+                return jnp.tanh(value(node.inputs[0]))
+            if op == "Sigmoid":
+                import jax
+
+                return jax.nn.sigmoid(value(node.inputs[0]))
+            if op == "Mean":
+                axes = tuple(np.asarray(self.const(node.inputs[1])).ravel().astype(int))
+                keep = attr(node, "keep_dims")
+                return jnp.mean(
+                    value(node.inputs[0]), axis=axes,
+                    keepdims=bool(keep.b) if keep is not None else False,
+                )
             if op == "MaxPool":
                 return pool(node, lax.max, -jnp.inf)
             if op == "AvgPool":

@@ -273,3 +273,108 @@ def test_pick_scorer_prefers_inception_file(tmp_path, monkeypatch, rng):
     direct = Inception2015(str(pb))
     m2, s2 = direct.inception_score(flat.reshape(24, 3, 8, 8), splits=3)
     assert m1 == pytest.approx(m2, rel=1e-6)
+
+
+def _attr_i(i: int) -> bytes:
+    return _tag(3, 0) + _varint(i)  # AttrValue.i
+
+
+def _extended_ops_graphdef(rng):
+    """A second mini graph exercising the op families the real 2015 graph
+    plausibly contains beyond the core set: Pad, Shape->Pack->Fill,
+    Slice, StridedSlice (+masks), Relu6, Mean, Rsqrt/Sqrt, arithmetic."""
+    x0 = rng.normal(0, 1, size=(2, 4, 4, 3)).astype(np.float32)
+    gd = b""
+    gd += _const("x", x0)
+    gd += _const("pad/p", np.asarray([[0, 0], [1, 1], [1, 1], [0, 0]], np.int32))
+    gd += _node("pad", "Pad", ["x", "pad/p"])                       # [2,6,6,3]
+    gd += _node("r6", "Relu6", ["pad"])
+    gd += _const("sl/b", np.asarray([0, 1, 1, 0], np.int32))
+    gd += _const("sl/s", np.asarray([-1, 4, 4, 3], np.int32))
+    gd += _node("sl", "Slice", ["r6", "sl/b", "sl/s"])              # [2,4,4,3]
+    gd += _const("ss/b", np.asarray([0, 0, 0, 1], np.int32))
+    gd += _const("ss/e", np.asarray([0, 2, 4, 3], np.int32))
+    gd += _const("ss/st", np.asarray([1, 1, 2, 1], np.int32))
+    gd += _node("ss", "StridedSlice", ["sl", "ss/b", "ss/e", "ss/st"],
+                attrs={"begin_mask": _attr_i(0b0001), "end_mask": _attr_i(0b1001),
+                       "shrink_axis_mask": _attr_i(0)})             # [2,2,2,2]
+    gd += _const("mean/ax", np.asarray([1, 2], np.int32))
+    gd += _node("mean", "Mean", ["ss", "mean/ax"],
+                attrs={"keep_dims": _attr_b(False)})                # [2,2]
+    gd += _const("eps", np.asarray(0.5, np.float32))
+    gd += _node("vplus", "Add", ["mean", "eps"])
+    gd += _node("rsq", "Rsqrt", ["vplus"])
+    gd += _node("sq", "Sqrt", ["vplus"])
+    gd += _node("ratio", "RealDiv", ["rsq", "sq"])
+    gd += _node("neg", "Neg", ["ratio"])
+    gd += _node("mx", "Maximum", ["ratio", "neg"])
+    gd += _node("mn", "Minimum", ["ratio", "neg"])
+    gd += _node("t", "Tanh", ["mx"])
+    gd += _node("sg", "Sigmoid", ["mn"])
+    gd += _node("e", "Exp", ["sg"])
+    gd += _node("out", "Add", ["t", "e"])                           # [2,2]
+    return gd, x0
+
+
+def test_executor_extended_ops_against_numpy(tmp_path, rng):
+    gd, x0 = _extended_ops_graphdef(rng)
+    from ctgan_tpu.eval.inception2015 import _Executor
+
+    exe = _Executor(parse_graphdef(gd))
+    out = np.asarray(exe.run("out", {}))
+
+    pad = np.pad(x0, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    r6 = np.clip(pad, 0, 6)
+    sl = r6[:, 1:5, 1:5, :]
+    # begin_mask bit0 -> begin[0] ignored; end_mask bit3 -> end[3] ignored
+    ss = sl[:, 0:2, 0:4:2, 1:]
+    mean = ss.mean(axis=(1, 2))
+    vplus = mean + 0.5
+    ratio = (1 / np.sqrt(vplus)) / np.sqrt(vplus)
+    expect = np.tanh(np.maximum(ratio, -ratio)) + np.exp(
+        1 / (1 + np.exp(-np.minimum(ratio, -ratio))))
+    np.testing.assert_allclose(out, expect, rtol=2e-5, atol=2e-6)
+
+
+def test_executor_shape_pack_fill_shrink(rng):
+    from ctgan_tpu.eval.inception2015 import _Executor
+
+    x0 = rng.normal(size=(3, 5)).astype(np.float32)
+    gd = b""
+    gd += _const("x", x0)
+    gd += _node("shp", "Shape", ["x"])
+    gd += _const("i0", np.asarray([0], np.int32))
+    gd += _const("i1", np.asarray([1], np.int32))
+    gd += _const("ones", np.asarray([1], np.int32))
+    # shrink both dims of Shape -> scalars, Pack them back, Fill with 7
+    gd += _node("d0", "StridedSlice", ["shp", "i0", "ones", "ones"],
+                attrs={"shrink_axis_mask": _attr_i(1)})
+    gd += _const("two", np.asarray([2], np.int32))
+    gd += _node("d1", "StridedSlice", ["shp", "i1", "two", "ones"],
+                attrs={"shrink_axis_mask": _attr_i(1)})
+    gd += _node("dims", "Pack", ["d0", "d1"], attrs={"axis": _attr_i(0)})
+    gd += _const("seven", np.asarray(7.0, np.float32))
+    gd += _node("f", "Fill", ["dims", "seven"])
+    exe = _Executor(parse_graphdef(gd))
+    out = np.asarray(exe.run("f", {}))
+    np.testing.assert_array_equal(out, np.full((3, 5), 7.0, np.float32))
+
+
+def test_unsupported_census(tmp_path, rng):
+    """The census reports exactly the reachable not-implemented ops, and
+    ignores unreachable ones and everything behind a fed node."""
+    from ctgan_tpu.eval.inception2015 import _Executor
+
+    gd = b""
+    gd += _const("c", np.asarray(1.0, np.float32))
+    gd += _node("weird", "FusedFrobnicate", ["c"])
+    gd += _node("mid", "Identity", ["weird"])
+    gd += _node("out", "Relu", ["mid"])
+    gd += _node("dead", "AnotherUnknownOp", ["c"])  # not reachable from out
+    exe = _Executor(parse_graphdef(gd))
+    gaps = exe.unsupported("out")
+    assert gaps == {"FusedFrobnicate": ["weird"]}
+    # feeding 'mid' cuts the graph above it
+    assert exe.unsupported("out", feeds=("mid",)) == {}
+    names = {n.name for n in exe.reachable("out")}
+    assert "dead" not in names and "weird" in names
