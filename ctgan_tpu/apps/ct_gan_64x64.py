@@ -20,7 +20,7 @@ from ..data import images_dir, stack_batches
 from ..models import dcgan, fc, good64
 from ..train import GanConfig, LoopConfig, make_gan_trainer, train_loop
 from ..utils import MetricLogger
-from .common import parse_config, save_sample_grid, setup_out_dir
+from .common import parse_config, pick_scorer, save_sample_grid, setup_out_dir
 
 OUTPUT_DIM = 64 * 64 * 3
 
@@ -41,6 +41,8 @@ class Config:
     out_dir: str = "runs/ct_gan_64x64"
     sample_every: int = 200
     save_every: int = 1000
+    inception_every: int = 2000  # IS cadence (CT_gan_64x64.py:583-594)
+    inception_samples: int = 1000
 
 
 def pick_arch(cfg: Config):
@@ -100,10 +102,12 @@ def main(argv=None, cfg: Config | None = None):
     from ..data.native import NativePipeline, native_available
     from ..data.synthetic import synthetic_images
 
+    scorer_train = None  # (flat uint8 images, labels) for the IS scorer fit
     if not cfg.DATA_DIR and native_available():
         # native C++ batcher: threaded shuffle + flip + normalize over the
         # in-memory dataset (file-dir path below decodes in Python)
-        flat, _ = synthetic_images(4096, 3, 64, seed=cfg.seed)
+        flat, labels = synthetic_images(4096, 3, 64, seed=cfg.seed)
+        scorer_train = (flat, labels)
         pipe = NativePipeline(
             flat, None, cfg.BATCH_SIZE, critic_iters, chw=(3, 64, 64),
             flip=True, seed=cfg.seed,
@@ -133,10 +137,37 @@ def main(argv=None, cfg: Config | None = None):
     logger = MetricLogger(out_dir)
     jit_sample = jax.jit(sample_fn)
 
+    # IS/FID cadence, like the reference's 64x64 inception hook
+    # (CT_gan_64x64.py:583-594): Inception-2015 when weights are supplied,
+    # else the self-contained TrainedScorer fit on the labeled training set.
+    scorer = None
+    if cfg.inception_every:
+        scorer = pick_scorer(3, 64, out_dir, train_data=scorer_train)
+        if not getattr(scorer, "comparable", False) and getattr(scorer, "params", 1) is None:
+            print("IS cadence disabled: no inception file and no labeled data")
+            scorer = None
+
+    def generate_samples(state, n):
+        outs = []
+        for i in range(0, n, 100):
+            noise = jax.random.normal(jax.random.PRNGKey(2000 + i), (100, 128))
+            outs.append(np.asarray(jit_sample(state, noise, jax.random.PRNGKey(i))))
+        flat = np.concatenate(outs)[:n]
+        return ((flat + 1.0) * (255.0 / 2)).astype("int32")
+
     def test_fn(state, iteration):
+        metrics = {}
         samples = jit_sample(state, fixed_noise, jax.random.PRNGKey(0))
         save_sample_grid(samples, (3, 64, 64), f"{out_dir}/samples_{iteration}.png")
-        return {}
+        if scorer is not None and iteration % cfg.inception_every == cfg.inception_every - 1:
+            fakes = generate_samples(state, cfg.inception_samples)
+            is_mean, is_std = scorer.inception_score(fakes)
+            metrics["inception score"] = is_mean
+            if scorer_train is not None:
+                metrics["fid"] = float(
+                    scorer.fid(scorer_train[0][: cfg.inception_samples], fakes)
+                )
+        return metrics
 
     lcfg = LoopConfig(
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,

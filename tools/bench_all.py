@@ -102,11 +102,20 @@ def main():
 
     t = args.tiny
     wl = set(args.workloads.split(","))
-    for which in ("mnist", "cifar", "resnet", "good64"):
+    for which in ("mnist", "cifar", "resnet"):
         if which in wl:
             w = build_workload(which, tiny=t)
             _measure(w.name, w.init_state, w.step_fn, w.make_batch,
                      w.batch_size, w.critic_iters, args.iters)
+    if "good64" in wl:
+        # remat A/B like lsun128: good64's step is HBM-bound with 178 GB/iter
+        # accessed (cost_analysis r3) — measure whether trading recompute
+        # flops for residual traffic pays on hardware.
+        for remat in (False, True):
+            w = build_workload("good64", tiny=t, remat=remat)
+            _measure(w.name + ("_remat" if remat else ""), w.init_state,
+                     w.step_fn, w.make_batch, w.batch_size, w.critic_iters,
+                     args.iters)
     if "io64" in wl:
         _io64(args)
     if "lsun128" in wl:
