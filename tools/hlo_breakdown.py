@@ -1,0 +1,189 @@
+"""Attribute a compiled workload's HBM traffic to instruction categories.
+
+``cost_analysis()`` gives one total (and over-counts operands shared across
+fused consumers — lsun128 measures FASTER than its nominal "floor");
+this tool parses the optimized post-fusion HLO and buckets every
+instruction's operand+output bytes by category (convolution, fusion kinds,
+reduce, copy/transpose, all-reduce, ...), so "where do good64's 178 GB/iter
+come from?" has a concrete answer that directs kernel work.
+
+    python tools/hlo_breakdown.py --workload good64 [--remat] [--top 25]
+
+Bytes here are the same accounting basis as cost_analysis (operands+outputs
+of post-fusion instructions), so bucket percentages map directly onto the
+roofline totals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of one HLO shape string, incl. tuple members."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*([^=]+?)\s*(\w+)\((.*)$"
+)
+
+
+def categorize(kind: str, line: str) -> str:
+    if kind == "fusion":
+        m = re.search(r'kind=(\w+)', line)
+        k = m.group(1) if m else "unknown"
+        return f"fusion:{k}"
+    if kind in ("convolution", "custom-call"):
+        if "Conv" in line or kind == "convolution":
+            return "convolution"
+        return "custom-call"
+    return kind
+
+
+_LINE_RE = re.compile(
+    r"^(?:ROOT\s+)?(%?[\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\],{}]+))\s+([\w\-]+)\("
+)
+
+
+def breakdown(hlo_text: str):
+    """bytes by category over executed-computation instructions.
+
+    Region-aware: instructions inside fusion sub-computations and
+    single-op wrapper computations are NOT counted (their interior traffic
+    stays in registers/VMEM — the referencing top-level fusion instruction
+    carries the HBM operand/output bytes).  ENTRY, while bodies, and scalar
+    reducer regions ARE counted.
+
+    Two passes: first map every instruction name to its output bytes
+    (optimized HLO prints operands as bare ``%name`` without shapes), then
+    charge each counted instruction its output plus resolved operand bytes.
+    Also buckets by the leading jax op_name path segment from metadata for
+    model-level attribution."""
+    sizes: dict[str, int] = {}
+    counted: list[tuple[str, str, str]] = []  # (kind, line, args)
+    in_skipped_block = False
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if s.startswith("}"):
+            in_skipped_block = False
+            continue
+        if s.endswith("{") and ("(" in s) and "=" not in s.split("(")[0]:
+            name = s.split("(")[0].strip().lstrip("%")
+            in_skipped_block = name.startswith(("fused_computation", "wrapped_"))
+            continue
+        if not s or s.startswith(("HloModule", "ENTRY", "//")):
+            continue
+        m = _LINE_RE.match(s)
+        if not m:
+            continue
+        name, out_shape, kind = m.group(1).lstrip("%"), m.group(2), m.group(3)
+        sizes[name] = shape_bytes(out_shape)
+        if in_skipped_block or kind in (
+            "parameter", "constant", "tuple", "get-tuple-element", "bitcast"
+        ):
+            continue
+        counted.append((kind, s, s[m.end():]))
+
+    by_cat = collections.Counter()
+    n_by_cat = collections.Counter()
+    by_op_name = collections.Counter()
+    heaviest: list[tuple[int, str]] = []
+    for kind, s, args in counted:
+        m = _LINE_RE.match(s)
+        out_b = shape_bytes(m.group(2))
+        # operands: bare %name references before any attribute list
+        arg_str = args.split("), ")[0] if "), " in args else args.split(")")[0]
+        in_b = sum(
+            sizes.get(om.group(1), 0)
+            for om in re.finditer(r"%([\w.\-]+)", arg_str)
+        )
+        b = out_b + in_b
+        cat = categorize(kind, s)
+        by_cat[cat] += b
+        n_by_cat[cat] += 1
+        om = re.search(r'op_name="([^"]+)"', s)
+        if om:
+            # leading segment of the jax op path, e.g. "jit(multi)/jvp(...)"
+            seg = om.group(1).split("/")
+            by_op_name["/".join(seg[1:3]) if len(seg) > 2 else om.group(1)] += b
+        heaviest.append((b, s[:140]))
+    heaviest.sort(reverse=True)
+    return by_cat, n_by_cat, by_op_name, heaviest
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="good64")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from ctgan_tpu.core import default_tpu_policy
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    default_tpu_policy(enable_bf16=on_tpu)
+    if on_tpu:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
+
+    from cost_analysis import analyze, compile_workload
+
+    overrides = {"remat": True} if args.remat else {}
+    w, compiled = compile_workload(args.workload, tiny=args.tiny, **overrides)
+    summary = analyze(compiled, name=w.name)
+    text = compiled.as_text()
+    by_cat, n_by_cat, by_op_name, heaviest = breakdown(text)
+    total = sum(by_cat.values())
+    print(json.dumps(summary))
+    print(f"parsed bytes total: {total/1e9:.1f} GB "
+          f"(cost_analysis: {summary['bytes_per_iter']/1e9:.1f} GB)")
+    for cat, b in by_cat.most_common():
+        print(f"  {cat:28s} {b/1e9:9.2f} GB  {100*b/max(total,1):5.1f}%  "
+              f"n={n_by_cat[cat]}")
+    print("by jax op_name prefix:")
+    for name, b in by_op_name.most_common(args.top):
+        print(f"  {b/1e9:9.2f} GB  {100*b/max(total,1):5.1f}%  {name}")
+    print("heaviest instructions:")
+    for b, s in heaviest[: args.top]:
+        print(f"  {b/1e6:10.1f} MB  {s}")
+
+
+if __name__ == "__main__":
+    main()
