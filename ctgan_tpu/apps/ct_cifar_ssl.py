@@ -23,7 +23,7 @@ from ..data.augment import random_crop_flip
 from ..losses.semisup import ema_targets_update
 from ..models import classifiers
 from ..train import SslConfig, data_dependent_init, make_ssl_trainer
-from ..utils import MetricLogger, save_checkpoint
+from ..utils import MetricLogger, load_checkpoint, save_checkpoint
 from .common import parse_config, setup_out_dir
 
 
@@ -45,6 +45,12 @@ class Config:
                                     # 25) on TPU to amortize dispatch latency.
                                     # Default 1: scanning this conv step
                                     # compiles pathologically slowly on CPU XLA
+    epoch_scan: bool = False        # device-resident data + ONE dispatch per
+                                    # epoch (indices in, metrics out) and a
+                                    # single-dispatch test sweep.  The r2 chip
+                                    # run paid ~120 tunnel round trips/epoch
+                                    # (~150 s); this runs the full reference
+                                    # 1000-epoch schedule in device time.
     out_dir: str = "runs/ct_cifar_ssl"
 
 
@@ -122,10 +128,42 @@ def main(argv=None, cfg: Config | None = None):
         state, (mstack, probs, feats) = jax.lax.scan(body, state, xs)
         return state, ({k: jnp.mean(v) for k, v in mstack.items()}, probs, feats)
 
+    def epoch_scan_fn(state, data, lab_idx_s, u1_s, u2_s, targets_dev, key):
+        """The whole epoch as ONE program: device-resident dataset, gathers
+        by permutation index inside the scan body — zero host staging and a
+        single dispatch/readback per epoch."""
+        txs_d, tys_d, trainx_d = data
+
+        def body(st, inp):
+            li, u1, u2 = inp
+            tg = None
+            if targets_dev is not None:
+                tg = (targets_dev[0][u1], targets_dev[1][u1])
+            st, out = step_with_augment(
+                st, txs_d[li], tys_d[li], trainx_d[u1], trainx_d[u2], tg, key
+            )
+            return st, out
+
+        state, (mstack, probs, feats) = jax.lax.scan(
+            body, state, (lab_idx_s, u1_s, u2_s)
+        )
+        return state, ({k: jnp.mean(v) for k, v in mstack.items()}, probs, feats)
+
+    def test_sweep_fn(state, xs, ys):
+        """All test batches in one scanned program -> mean error."""
+        def body(carry, inp):
+            x, y = inp
+            return carry + test_fn(state, x, y), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros(()), (xs, ys))
+        return total / xs.shape[0]
+
     CHUNK = cfg.chunk
     jit_step = jax.jit(step_with_augment, donate_argnums=0)
     jit_multi = jax.jit(multi_step_with_augment, donate_argnums=0)
     jit_test = jax.jit(test_fn)
+    jit_epoch = jax.jit(epoch_scan_fn, donate_argnums=0)
+    jit_test_sweep = jax.jit(test_sweep_fn)
     logger = MetricLogger(out_dir)
     bs = cfg.batch_size
     n = len(trainx)
@@ -138,11 +176,43 @@ def main(argv=None, cfg: Config | None = None):
     targets_np = np.zeros((n, 10), "float32")
     targets2_np = np.zeros((n, 128), "float32")
 
-    for epoch in range(cfg.epochs):
+    if cfg.epoch_scan:
+        # dataset to HBM once; epochs feed only [nr_batches, bs] index arrays
+        dev_data = (jnp.asarray(txs), jnp.asarray(tys), jnp.asarray(trainx))
+        nb_test = (len(testx) - bs + 1) // bs
+        test_xs = jnp.asarray(testx[: nb_test * bs].reshape(nb_test, bs, *testx.shape[1:]))
+        test_ys = jnp.asarray(testy[: nb_test * bs].reshape(nb_test, bs))
+
+    # epoch-level crash/resume: full (state, TE buffers, epoch) saved each
+    # epoch; per-epoch permutations derive from (seed, epoch) so resumed
+    # runs replay the exact data order with no generator fast-forward
+    # (supersedes train_loop_2.py:123-139's replay approach).
+    from ..train.trainer_semisup import SslState
+
+    ckpt_path = f"{out_dir}/ssl_state.npz"
+    start_epoch = 0
+    import os as _os
+
+    if _os.path.exists(ckpt_path):
+        saved = load_checkpoint(ckpt_path)
+        state = SslState(**{
+            k: (jax.tree.map(jnp.asarray, saved["state"][k])
+                if k != "step" else jnp.asarray(saved["state"][k]))
+            for k in SslState._fields
+        })
+        ensemble = np.asarray(saved["ensemble"])
+        ensemble2 = np.asarray(saved["ensemble2"])
+        targets_np = np.asarray(saved["targets"])
+        targets2_np = np.asarray(saved["targets2"])
+        start_epoch = int(saved["epoch"]) + 1
+        print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.epochs):
+        erng = np.random.default_rng((cfg.seed, epoch))
         reps = int(np.ceil(n / len(txs)))
-        lab_idx = np.concatenate([rng.permutation(len(txs)) for _ in range(reps)])[:n]
-        unl1 = rng.permutation(n)
-        unl2 = rng.permutation(n)
+        lab_idx = np.concatenate([erng.permutation(len(txs)) for _ in range(reps)])[:n]
+        unl1 = erng.permutation(n)
+        unl2 = erng.permutation(n)
 
         epoch_preds = np.zeros((n, 10), "float32")
         epoch_preds2 = np.zeros((n, 128), "float32")
@@ -152,41 +222,61 @@ def main(argv=None, cfg: Config | None = None):
         def stack(arr, idx):
             return jnp.asarray(arr[idx].reshape(-1, bs, *arr.shape[1:]))
 
-        for t0 in range(0, nr_batches, CHUNK):
-            t1 = min(t0 + CHUNK, nr_batches)
-            if t1 - t0 != CHUNK and t0 > 0:
-                break  # drop ragged tail (avoids a second compile)
-            sl = slice(t0 * bs, t1 * bs)
-            li = lab_idx[sl]
-            u1 = unl1[sl]
-            targets = None
+        if cfg.epoch_scan:
+            m = nr_batches * bs
+            idx_s = lambda a: jnp.asarray(a[:m].reshape(nr_batches, bs).astype("int32"))
+            targets_dev = (
+                (jnp.asarray(targets_np), jnp.asarray(targets2_np))
+                if cfg.temporal_ensembling else None
+            )
+            state, (metrics, probs, feats) = jit_epoch(
+                state, dev_data, idx_s(lab_idx), idx_s(unl1), idx_s(unl2),
+                targets_dev, key,
+            )
             if cfg.temporal_ensembling:
-                targets = (
-                    stack(targets_np, u1), stack(targets2_np, u1)
-                )
-            if CHUNK == 1:
-                tg = None if targets is None else (targets[0][0], targets[1][0])
-                state, (metrics, probs, feats) = jit_step(
-                    state,
-                    jnp.asarray(txs[li]), jnp.asarray(tys[li]),
-                    jnp.asarray(trainx[u1]), jnp.asarray(trainx[unl2[sl]]),
-                    tg, key,
-                )
-                probs = probs[None]
-                feats = feats[None]
-            else:
-                state, (metrics, probs, feats) = jit_multi(
-                    state,
-                    stack(txs, li), stack(tys, li),
-                    stack(trainx, u1), stack(trainx, unl2[sl]),
-                    targets, key,
-                )
-            if cfg.temporal_ensembling:
+                u1 = unl1[:m]
                 epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
                 epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)
-            n_calls += 1
+            n_calls = 1
             for k in sums:
                 sums[k] += float(metrics[k])
+        else:
+            for t0 in range(0, nr_batches, CHUNK):
+                t1 = min(t0 + CHUNK, nr_batches)
+                if t1 - t0 != CHUNK and t0 > 0:
+                    break  # drop ragged tail (avoids a second compile)
+                sl = slice(t0 * bs, t1 * bs)
+                li = lab_idx[sl]
+                u1 = unl1[sl]
+                targets = None
+                if cfg.temporal_ensembling:
+                    targets = (
+                        stack(targets_np, u1), stack(targets2_np, u1)
+                    )
+                if CHUNK == 1:
+                    tg = None if targets is None else (targets[0][0], targets[1][0])
+                    state, (metrics, probs, feats) = jit_step(
+                        state,
+                        jnp.asarray(txs[li]), jnp.asarray(tys[li]),
+                        jnp.asarray(trainx[u1]), jnp.asarray(trainx[unl2[sl]]),
+                        tg, key,
+                    )
+                    probs = probs[None]
+                    feats = feats[None]
+                else:
+                    state, (metrics, probs, feats) = jit_multi(
+                        state,
+                        stack(txs, li), stack(tys, li),
+                        stack(trainx, u1), stack(trainx, unl2[sl]),
+                        targets, key,
+                    )
+                if cfg.temporal_ensembling:
+                    epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
+                    epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)
+                n_calls += 1
+                for k in sums:
+                    sums[k] += float(metrics[k])
+
         nr_batches_eff = max(n_calls, 1)
 
         if cfg.temporal_ensembling:
@@ -200,10 +290,13 @@ def main(argv=None, cfg: Config | None = None):
                 decay=cfg.prediction_decay,
             ))
 
-        test_err = float(np.mean([
-            float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
-            for i in range(0, len(testx) - bs + 1, bs)
-        ]))
+        if cfg.epoch_scan:
+            test_err = float(jit_test_sweep(state, test_xs, test_ys))
+        else:
+            test_err = float(np.mean([
+                float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
+                for i in range(0, len(testx) - bs + 1, bs)
+            ]))
         for k, v in sums.items():
             logger.plot(k, v / nr_batches_eff)
         logger.plot("test_err", test_err)
@@ -211,6 +304,12 @@ def main(argv=None, cfg: Config | None = None):
         logger.flush()
         save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
         save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+        save_checkpoint(ckpt_path, {
+            "state": state._asdict(),
+            "ensemble": ensemble, "ensemble2": ensemble2,
+            "targets": targets_np, "targets2": targets2_np,
+            "epoch": epoch,
+        })
     return state
 
 

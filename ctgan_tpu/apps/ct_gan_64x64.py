@@ -43,6 +43,12 @@ class Config:
     save_every: int = 1000
     inception_every: int = 2000  # IS cadence (CT_gan_64x64.py:583-594)
     inception_samples: int = 1000
+    input: str = "hbm"           # hbm: DeviceSampler pool resident in HBM,
+                                 # flip+dequant fused into the jitted step
+                                 # (zero host->device feed per iteration —
+                                 # the tunneled host feed costs ~3x step
+                                 # time, runs/final_pass_r2.log io64 rows);
+                                 # native: C++ host pipeline; dir: image dir
 
 
 def pick_arch(cfg: Config):
@@ -103,7 +109,41 @@ def main(argv=None, cfg: Config | None = None):
     from ..data.synthetic import synthetic_images
 
     scorer_train = None  # (flat uint8 images, labels) for the IS scorer fit
-    if not cfg.DATA_DIR and native_available():
+    run_step = step_fn
+    data_state = set_data_state = None
+    if not cfg.DATA_DIR and cfg.input == "hbm":
+        # HBM-resident pool + in-step selection/flip/dequant: the training
+        # loop feeds only (step_idx, perm) per iteration
+        from ..data import DeviceSampler
+        from ..data.augment import random_flip
+
+        flat, labels = synthetic_images(4096, 3, 64, seed=cfg.seed)
+        scorer_train = (flat, labels)
+        sampler = DeviceSampler(
+            [flat.astype("int32")], cfg.BATCH_SIZE, critic_iters, seed=cfg.seed
+        )
+        data_args = tuple(sampler.arrays)
+        counter = {"i": 0}
+
+        def run_step(state, step_idx, data, perm, key):
+            raw = sampler.sample(step_idx, data, perm)  # [K, B, 3*64*64] int
+            x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
+            imgs = x.reshape(-1, 3, 64, 64).transpose(0, 2, 3, 1)
+            imgs = random_flip(imgs, jax.random.fold_in(key, step_idx))
+            x = imgs.transpose(0, 3, 1, 2).reshape(
+                critic_iters, cfg.BATCH_SIZE, OUTPUT_DIM
+            )
+            return step_fn(state, x, key)
+
+        def next_batch():
+            i = counter["i"]
+            counter["i"] += 1
+            return (jnp.asarray(i), data_args, sampler.host_perm(i))
+
+        data_state = lambda: {"i": counter["i"]}
+        set_data_state = lambda s: counter.update(i=int(s["i"]))
+
+    elif not cfg.DATA_DIR and cfg.input == "native" and native_available():
         # native C++ batcher: threaded shuffle + flip + normalize over the
         # in-memory dataset (file-dir path below decodes in Python)
         flat, labels = synthetic_images(4096, 3, 64, seed=cfg.seed)
@@ -173,9 +213,12 @@ def main(argv=None, cfg: Config | None = None):
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
     )
+    kw = {}
+    if data_state is not None:
+        kw = {"data_state": data_state, "set_data_state": set_data_state}
     return train_loop(
-        state, step_fn, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,
-        logger=logger, test_fn=test_fn,
+        state, run_step, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,
+        logger=logger, test_fn=test_fn, **kw,
     )
 
 

@@ -34,7 +34,13 @@ class Config:
     DIM_G_4: int = 1024
     DIM_D_8: int = 1024
     DATA_DIR: str = ""
-    REMAT: bool = True   # rematerialize the D forward (128px model)
+    REMAT: bool = False  # rematerialize the D forward (trades HBM for FLOPs;
+                         # measured on v5e it LOSES ~20% wall-clock on the
+                         # 64px model and its byte accounting is worse here
+                         # too — runs/measure_r3a.log — so default off; turn
+                         # on only if the model does not fit)
+    input: str = "hbm"   # hbm: DeviceSampler pool + in-step flip/dequant
+                         # (zero host feed per iteration); dir: image dir
     seed: int = 0
     out_dir: str = "runs/wgan_lsun128"
     sample_every: int = 200
@@ -66,17 +72,53 @@ def main(argv=None, cfg: Config | None = None):
     assert not rest
     state = init_state(gp, dp)
 
-    gen = images_dir.prefetch(
-        stack_batches(
-            images_dir.image_dir_generator(cfg.DATA_DIR or None, cfg.BATCH_SIZE, 128, seed=cfg.seed),
-            cfg.CRITIC_ITERS,
-        )
-    )
+    run_step = step_fn
+    data_state = set_data_state = None
+    if not cfg.DATA_DIR and cfg.input == "hbm":
+        # HBM-resident synthetic pool; selection/flip/dequant inside the
+        # jitted step — zero host->device feed per iteration (the tunneled
+        # host feed costs ~3x step time, runs/final_pass_r2.log io64 rows)
+        from ..data import DeviceSampler
+        from ..data.augment import random_flip
+        from ..data.synthetic import synthetic_images
 
-    def next_batch():
-        raw = next(gen)
-        flat = raw.reshape(cfg.CRITIC_ITERS, cfg.BATCH_SIZE, OUTPUT_DIM)
-        return (jnp.asarray(2.0 * (flat.astype("float32") / 255.0 - 0.5)),)
+        flat_pool, _ = synthetic_images(2048, 3, 128, seed=cfg.seed)
+        sampler = DeviceSampler(
+            [flat_pool.astype("int32")], cfg.BATCH_SIZE, cfg.CRITIC_ITERS,
+            seed=cfg.seed,
+        )
+        data_args = tuple(sampler.arrays)
+        counter = {"i": 0}
+
+        def run_step(state, step_idx, data, perm, key):
+            raw = sampler.sample(step_idx, data, perm)
+            x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
+            imgs = x.reshape(-1, 3, 128, 128).transpose(0, 2, 3, 1)
+            imgs = random_flip(imgs, jax.random.fold_in(key, step_idx))
+            x = imgs.transpose(0, 3, 1, 2).reshape(
+                cfg.CRITIC_ITERS, cfg.BATCH_SIZE, OUTPUT_DIM
+            )
+            return step_fn(state, x, key)
+
+        def next_batch():
+            i = counter["i"]
+            counter["i"] += 1
+            return (jnp.asarray(i), data_args, sampler.host_perm(i))
+
+        data_state = lambda: {"i": counter["i"]}
+        set_data_state = lambda s: counter.update(i=int(s["i"]))
+    else:
+        gen = images_dir.prefetch(
+            stack_batches(
+                images_dir.image_dir_generator(cfg.DATA_DIR or None, cfg.BATCH_SIZE, 128, seed=cfg.seed),
+                cfg.CRITIC_ITERS,
+            )
+        )
+
+        def next_batch():
+            raw = next(gen)
+            flat = raw.reshape(cfg.CRITIC_ITERS, cfg.BATCH_SIZE, OUTPUT_DIM)
+            return (jnp.asarray(2.0 * (flat.astype("float32") / 255.0 - 0.5)),)
 
     fixed_noise = jnp.asarray(
         np.random.default_rng(cfg.seed).normal(size=(64, 128)).astype("f4")
@@ -93,9 +135,12 @@ def main(argv=None, cfg: Config | None = None):
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
     )
+    kw = {}
+    if data_state is not None:
+        kw = {"data_state": data_state, "set_data_state": set_data_state}
     return train_loop(
-        state, step_fn, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,
-        logger=logger, test_fn=test_fn,
+        state, run_step, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,
+        logger=logger, test_fn=test_fn, **kw,
     )
 
 

@@ -90,6 +90,10 @@ def _unflatten(struct: Any, arrays: dict) -> Any:
 def save_checkpoint(path: str, tree: Any) -> str:
     """Atomically write ``tree`` to ``path`` (one self-contained .npz)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # one pipelined device->host gather: flattening with per-leaf np.asarray
+    # pays a full transfer round trip PER ARRAY (~27ms each on the tunneled
+    # backend — a few hundred params made each checkpoint cost ~7s)
+    tree = jax.device_get(tree)
     arrays, struct = _flatten(tree)
     assert _STRUCT_KEY not in arrays, f"reserved key {_STRUCT_KEY!r} in tree"
     struct_bytes = np.frombuffer(

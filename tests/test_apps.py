@@ -132,3 +132,63 @@ def test_onehot_toys(tmp_path):
                     DIM=32, out_dir=str(tmp_path / "w")))
     main(cfg=Config(which="ae", ITERS=2, BATCH_SIZE=16,
                     out_dir=str(tmp_path / "a")))
+
+
+@slow
+def test_cifar_ssl_epoch_scan_matches_chunked(tmp_path, monkeypatch):
+    """epoch_scan (device-resident data, one dispatch/epoch) must produce
+    the same training trajectory as the chunked path: same host
+    permutations + same per-step key derivation + same gathers."""
+    import numpy as np
+
+    import ctgan_tpu.data.cifar10 as cifar_mod
+    from ctgan_tpu.apps.ct_cifar_ssl import Config, main
+    from ctgan_tpu.utils import load_checkpoint
+
+    def small(data_dir=None, subset="train"):
+        from ctgan_tpu.data.synthetic import synthetic_images
+
+        n = 200 if subset == "train" else 100
+        flat, y = synthetic_images(n, 3, 32, seed=0 if subset == "train" else 1)
+        x = flat.reshape(-1, 3, 32, 32).astype("float32") / 255.0 - 0.5
+        return x, y
+
+    monkeypatch.setattr(cifar_mod, "load_normalized", small)
+    base = dict(epochs=2, batch_size=50, count=10, temporal_ensembling=True)
+    main(cfg=Config(**base, chunk=2, out_dir=str(tmp_path / "chunked")))
+    main(cfg=Config(**base, epoch_scan=True, out_dir=str(tmp_path / "scan")))
+    a = load_checkpoint(str(tmp_path / "chunked" / "disc_params.npz"))
+    b = load_checkpoint(str(tmp_path / "scan" / "disc_params.npz"))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+@slow
+def test_cifar_ssl_resume(tmp_path, monkeypatch):
+    """Epoch-level crash/resume: a 1-epoch run resumed to 2 epochs matches
+    an uninterrupted 2-epoch run exactly (permutations derive from
+    (seed, epoch), so no generator fast-forward is needed)."""
+    import numpy as np
+
+    import ctgan_tpu.data.cifar10 as cifar_mod
+    from ctgan_tpu.apps.ct_cifar_ssl import Config, main
+    from ctgan_tpu.utils import load_checkpoint
+
+    def small(data_dir=None, subset="train"):
+        from ctgan_tpu.data.synthetic import synthetic_images
+
+        n = 200 if subset == "train" else 100
+        flat, y = synthetic_images(n, 3, 32, seed=0 if subset == "train" else 1)
+        x = flat.reshape(-1, 3, 32, 32).astype("float32") / 255.0 - 0.5
+        return x, y
+
+    monkeypatch.setattr(cifar_mod, "load_normalized", small)
+    base = dict(batch_size=50, count=10, temporal_ensembling=True, chunk=2)
+    main(cfg=Config(**base, epochs=2, out_dir=str(tmp_path / "full")))
+    main(cfg=Config(**base, epochs=1, out_dir=str(tmp_path / "resumed")))
+    main(cfg=Config(**base, epochs=2, out_dir=str(tmp_path / "resumed")))
+    a = load_checkpoint(str(tmp_path / "full" / "disc_params.npz"))
+    b = load_checkpoint(str(tmp_path / "resumed" / "disc_params.npz"))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)

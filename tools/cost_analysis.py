@@ -92,7 +92,19 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="force the bf16 activation policy even off-TPU "
                          "(for byte accounting)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize registers the "
+                         "axon TPU backend in every process; the env var "
+                         "alone does not override it)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
