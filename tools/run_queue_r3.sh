@@ -67,12 +67,12 @@ run_job measure_tp 1800 python tools/measure_tp.py --iters 30
 run_job hlo_breakdown_good64 2400 python tools/hlo_breakdown.py --workload good64 --top 20
 run_job hlo_breakdown_resnet 1800 python tools/hlo_breakdown.py --workload resnet --top 20
 
-run_training good64_sched 9000 runs/good64_r3.log \
+run_training good64_sched 8400 runs/good64_r3.log \
   python -m ctgan_tpu.apps.ct_gan_64x64 --out_dir runs/good64_r3 \
     --ITERS 200000 --save_every 1000 --sample_every 500 \
     --inception_every 2000 --inception_samples 1000
 
-run_training lsun128_sched 7200 runs/lsun128_r3.log \
+run_training lsun128_sched 6600 runs/lsun128_r3.log \
   python -m ctgan_tpu.apps.wgan_lsun128 --out_dir runs/lsun128_r3 \
     --ITERS 200000 --save_every 1000 --sample_every 500
 
