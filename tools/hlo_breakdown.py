@@ -64,8 +64,11 @@ def categorize(kind: str, line: str) -> str:
     return kind
 
 
+# shape group is non-greedy up to the opcode: TPU HLO appends layout/tile
+# annotations like ``{3,2,1,0:T(8,128)(2,1)}`` that a character class can't
+# enumerate (the round-3 chip run parsed 0 bytes because of exactly that)
 _LINE_RE = re.compile(
-    r"^(?:ROOT\s+)?(%?[\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\],{}]+))\s+([\w\-]+)\("
+    r"^(?:ROOT\s+)?(%?[\w.\-]+)\s*=\s*(.*?)\s+([\w\-]+)\((.*)$"
 )
 
 
@@ -106,7 +109,7 @@ def breakdown(hlo_text: str):
             "parameter", "constant", "tuple", "get-tuple-element", "bitcast"
         ):
             continue
-        counted.append((kind, s, s[m.end():]))
+        counted.append((kind, s, m.group(4)))
 
     by_cat = collections.Counter()
     n_by_cat = collections.Counter()
