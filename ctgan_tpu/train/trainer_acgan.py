@@ -63,6 +63,13 @@ class AcganConfig:
                                     # pass (independent per-example dropout ==
                                     # two independent passes; valid because
                                     # this D has no batch-coupled norm)
+    clean_pass: bool = True         # run the kp=1 monitoring D pass every
+                                    # critic substep (reference :232-266 uses
+                                    # it only for acc_real/acc_fake).  False
+                                    # drops that forward from the hot loop
+                                    # (the accuracies remain available through
+                                    # the eval path) — a pure HBM-traffic cut
+                                    # on an HBM-bound step.
 
 
 class AcganState(NamedTuple):
@@ -109,7 +116,10 @@ def make_acgan_trainer(
                 else:
                     d_all = disc_fn(both, both_labels, kp1, kp2, kp3)
                     d_all_2 = disc_fn(both, both_labels, kp1, kp2, kp3)
-                d_clean = disc_fn(both, both_labels, 1.0, 1.0, 1.0)
+                d_clean = (
+                    disc_fn(both, both_labels, 1.0, 1.0, 1.0)
+                    if cfg.clean_pass else None
+                )
 
                 d_real, d_fake = d_all.wgan[:b], d_all.wgan[b:]
                 f_real = d_all.features[:b]
@@ -131,8 +141,9 @@ def make_acgan_trainer(
                     ac = acgan_loss(d_all.acgan[:b], labels)
                     cost = cost + cfg.acgan_scale * ac
                     metrics["acgan"] = ac
-                    metrics["acc_real"] = acgan_accuracy(d_clean.acgan[:b], labels)
-                    metrics["acc_fake"] = acgan_accuracy(d_clean.acgan[b:], labels)
+                    if d_clean is not None:
+                        metrics["acc_real"] = acgan_accuracy(d_clean.acgan[:b], labels)
+                        metrics["acc_fake"] = acgan_accuracy(d_clean.acgan[b:], labels)
                 metrics["disc_cost"] = cost
                 return cost, metrics
 

@@ -83,3 +83,51 @@ def test_ssl_multi_step_matches_sequential():
             np.asarray(s_multi.disc_params[k]),
             rtol=2e-4, atol=2e-5,
         )
+
+
+def _build_acgan(**extra):
+    from ctgan_tpu.models import resnet_cifar
+    from ctgan_tpu.train.trainer_acgan import AcganConfig, make_acgan_trainer
+
+    mcfg = resnet_cifar.ResnetCifarConfig(dim_g=8, dim_d=8)
+    cfg = AcganConfig(batch_size=8, critic_iters=2, **extra)
+    init_state, step_fn, _, _, _ = make_acgan_trainer(
+        lambda n, labels, noise=None: resnet_cifar.generator(
+            n, labels, noise=noise, cfg=mcfg
+        ),
+        lambda x, labels, k1, k2, k3: resnet_cifar.discriminator(
+            x, labels, k1, k2, k3, mcfg
+        ),
+        cfg,
+    )
+    with init_context(seed=0) as ctx:
+        with rng_context(jax.random.PRNGKey(0)):
+            labels = jnp.zeros((2,), jnp.int32)
+            resnet_cifar.discriminator(
+                resnet_cifar.generator(2, labels, cfg=mcfg),
+                labels, 0.8, 0.5, 0.5, mcfg,
+            )
+    gp, dp, _ = split_params(ctx.params, "Generator", "Discriminator")
+    return init_state(gp, dp), step_fn
+
+
+def test_acgan_clean_pass_off_drops_monitor_not_loss():
+    """clean_pass=False removes only the kp=1 monitoring pass (acc_real /
+    acc_fake); the training loss path (wgan+ct+gp+acgan) is untouched, so
+    disc_cost must match the clean_pass=True step exactly."""
+    rng = np.random.default_rng(0)
+    reals = jnp.asarray(rng.integers(0, 256, size=(2, 8, 3072)), jnp.int32)
+    labs = jnp.asarray(rng.integers(0, 10, size=(2, 8)), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    state_on, step_on = _build_acgan(clean_pass=True)
+    state_off, step_off = _build_acgan(clean_pass=False)
+    _, m_on = jax.jit(step_on)(state_on, reals, labs, key)
+    _, m_off = jax.jit(step_off)(state_off, reals, labs, key)
+    assert "acc_real" in m_on and "acc_fake" in m_on
+    assert "acc_real" not in m_off and "acc_fake" not in m_off
+    np.testing.assert_allclose(
+        np.asarray(m_on["disc_cost"]), np.asarray(m_off["disc_cost"]),
+        rtol=1e-5,
+    )
+    assert np.isfinite(np.asarray(m_off["disc_cost"]))

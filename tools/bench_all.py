@@ -107,6 +107,18 @@ def main():
             w = build_workload(which, tiny=t)
             _measure(w.name, w.init_state, w.step_fn, w.make_batch,
                      w.batch_size, w.critic_iters, args.iters)
+    if "resnet_ab" in wl:
+        # flagship HBM-byte-cut A/B (the step is at the HBM roofline, so
+        # traffic reduction is the only speed lever): drop the kp=1
+        # monitoring pass from the hot loop / remat the D forward.
+        for label, ov in (
+            ("_noclean", {"clean_pass": False}),
+            ("_remat", {"remat": True}),
+            ("_noclean_remat", {"clean_pass": False, "remat": True}),
+        ):
+            w = build_workload("resnet", tiny=t, **ov)
+            _measure(w.name + label, w.init_state, w.step_fn, w.make_batch,
+                     w.batch_size, w.critic_iters, args.iters)
     if "good64" in wl:
         # remat A/B like lsun128: good64's step is HBM-bound with 178 GB/iter
         # accessed (cost_analysis r3) — measure whether trading recompute

@@ -145,6 +145,9 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dump", default=None,
+                    help="also write the optimized HLO text to this path "
+                         "(gzip if it ends in .gz) for offline parsing")
     args = ap.parse_args()
 
     if args.cpu:
@@ -172,11 +175,37 @@ def main():
     w, compiled = compile_workload(args.workload, tiny=args.tiny, **overrides)
     summary = analyze(compiled, name=w.name)
     text = compiled.as_text()
+    if args.dump:
+        if args.dump.endswith(".gz"):
+            import gzip
+
+            with gzip.open(args.dump, "wt") as f:
+                f.write(text)
+        else:
+            with open(args.dump, "w") as f:
+                f.write(text)
+        print(f"dumped {len(text)} chars of HLO to {args.dump}")
     by_cat, n_by_cat, by_op_name, heaviest = breakdown(text)
     total = sum(by_cat.values())
     print(json.dumps(summary))
     print(f"parsed bytes total: {total/1e9:.1f} GB "
           f"(cost_analysis: {summary['bytes_per_iter']/1e9:.1f} GB)")
+    if total < 0.01 * summary["bytes_per_iter"]:
+        # parse failure diagnostics: show the text dialect we didn't handle
+        lines = text.splitlines()
+        print(f"PARSE SUSPECT: {len(lines)} lines; first block headers + "
+              "sample unmatched instruction lines follow")
+        shown_h = shown_i = 0
+        for line in lines:
+            s = line.strip()
+            if shown_h < 8 and s.endswith("{"):
+                print("  HDR:", s[:200])
+                shown_h += 1
+            elif shown_i < 12 and "=" in s and "(" in s and not _LINE_RE.match(s):
+                print("  UNMATCHED:", s[:200])
+                shown_i += 1
+            if shown_h >= 8 and shown_i >= 12:
+                break
     for cat, b in by_cat.most_common():
         print(f"  {cat:28s} {b/1e9:9.2f} GB  {100*b/max(total,1):5.1f}%  "
               f"n={n_by_cat[cat]}")
