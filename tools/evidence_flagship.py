@@ -18,12 +18,16 @@ import shutil
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="runs/flagship_r2")
+    ap.add_argument("--is-key", default="inception_50k",
+                    help="metric key holding the IS mean (good64 runs log 'inception score')")
+    ap.add_argument("--fid-key", default="fid_10k")
     ap.add_argument("--every", type=int, default=5000)
     ap.add_argument("--copy-to", default="docs/evidence")
     args = ap.parse_args()
 
     recs = [json.loads(l) for l in open(os.path.join(args.run, "log.ndjson"))]
-    is_recs = [r for r in recs if "inception_50k" in r]
+    K, F = args.is_key, args.fid_key
+    is_recs = [r for r in recs if K in r]
     if not is_recs:
         print("no IS records yet")
         return
@@ -38,15 +42,15 @@ def main() -> None:
             continue
         shown.add(bucket)
         print(
-            f"| {it + 1} | {r['inception_50k']:.3f}±{r.get('inception_50k_std', 0):.3f} "
-            f"| {r.get('fid_10k', float('nan')):.3f} | {r.get('dev_cost', float('nan')):.3f} "
+            f"| {it + 1} | {r[K]:.3f}±{r.get(K + '_std', 0):.3f} "
+            f"| {r.get(F, float('nan')):.3f} | {r.get('dev_cost', float('nan')):.3f} "
             f"| {r.get('ct', float('nan')):.3f} | {r.get('gp', float('nan')):.4f} |"
         )
-    best = max(is_recs, key=lambda r: r["inception_50k"])
+    best = max(is_recs, key=lambda r: r[K])
     last = is_recs[-1]
     print()
-    print(f"best IS: {best['inception_50k']:.3f} at iter {best['iteration'] + 1}; "
-          f"final IS: {last['inception_50k']:.3f} at iter {last['iteration'] + 1}; "
+    print(f"best IS: {best[K]:.3f} at iter {best['iteration'] + 1}; "
+          f"final IS: {last[K]:.3f} at iter {last['iteration'] + 1}; "
           f"{len(is_recs)} IS evaluations")
 
     if args.copy_to:
