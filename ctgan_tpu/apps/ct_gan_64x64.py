@@ -125,11 +125,16 @@ def main(argv=None, cfg: Config | None = None):
         data_args = tuple(sampler.arrays)
         counter = {"i": 0}
 
-        def run_step(state, step_idx, data, perm, key):
-            raw = sampler.sample(step_idx, data, perm)  # [K, B, 3*64*64] int
+        def run_step(state, data, perm, key):
+            # the step index comes from device state (state.step counts loop
+            # iterations exactly like the host counter), so steady-state
+            # iterations feed NO host->device transfer at all — the eager
+            # per-iter jnp.asarray(i) device_put cost ~0.26 s on the
+            # tunneled runtime (data-time column, runs/good64_r3.log)
+            raw = sampler.sample(state.step, data, perm)  # [K, B, 3*64*64]
             x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
             imgs = x.reshape(-1, 3, 64, 64).transpose(0, 2, 3, 1)
-            imgs = random_flip(imgs, jax.random.fold_in(key, step_idx))
+            imgs = random_flip(imgs, jax.random.fold_in(key, state.step))
             x = imgs.transpose(0, 3, 1, 2).reshape(
                 critic_iters, cfg.BATCH_SIZE, OUTPUT_DIM
             )
@@ -138,7 +143,7 @@ def main(argv=None, cfg: Config | None = None):
         def next_batch():
             i = counter["i"]
             counter["i"] += 1
-            return (jnp.asarray(i), data_args, sampler.host_perm(i))
+            return (data_args, sampler.host_perm(i))
 
         data_state = lambda: {"i": counter["i"]}
         set_data_state = lambda s: counter.update(i=int(s["i"]))

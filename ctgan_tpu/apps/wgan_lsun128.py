@@ -90,11 +90,13 @@ def main(argv=None, cfg: Config | None = None):
         data_args = tuple(sampler.arrays)
         counter = {"i": 0}
 
-        def run_step(state, step_idx, data, perm, key):
-            raw = sampler.sample(step_idx, data, perm)
+        def run_step(state, data, perm, key):
+            # step index from device state (== the host counter): steady-state
+            # iterations feed no host->device transfer (see ct_gan_64x64)
+            raw = sampler.sample(state.step, data, perm)
             x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
             imgs = x.reshape(-1, 3, 128, 128).transpose(0, 2, 3, 1)
-            imgs = random_flip(imgs, jax.random.fold_in(key, step_idx))
+            imgs = random_flip(imgs, jax.random.fold_in(key, state.step))
             x = imgs.transpose(0, 3, 1, 2).reshape(
                 cfg.CRITIC_ITERS, cfg.BATCH_SIZE, OUTPUT_DIM
             )
@@ -103,7 +105,7 @@ def main(argv=None, cfg: Config | None = None):
         def next_batch():
             i = counter["i"]
             counter["i"] += 1
-            return (jnp.asarray(i), data_args, sampler.host_perm(i))
+            return (data_args, sampler.host_perm(i))
 
         data_state = lambda: {"i": counter["i"]}
         set_data_state = lambda s: counter.update(i=int(s["i"]))
