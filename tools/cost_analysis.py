@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized D forward (gan-family workloads)")
+    ap.add_argument("--noclean", action="store_true",
+                    help="drop the kp=1 monitoring pass (resnet workload)")
     ap.add_argument("--bf16", action="store_true",
                     help="force the bf16 activation policy even off-TPU "
                          "(for byte accounting)")
@@ -119,10 +121,17 @@ def main():
         enable_pallas_dropout(True)
 
     if args.workload != "flagship":
-        overrides = {"remat": True} if args.remat else {}
+        overrides = {}
+        suffix = ""
+        if args.remat:
+            overrides["remat"] = True
+            suffix += "_remat"
+        if args.noclean:
+            overrides["clean_pass"] = False
+            suffix += "_noclean"
         w, compiled = compile_workload(args.workload, tiny=args.tiny, **overrides)
         out = analyze(compiled, args.sec_per_iter, args.peak_tflops,
-                      args.peak_gbps, name=w.name + ("_remat" if args.remat else ""))
+                      args.peak_gbps, name=w.name + suffix)
         out["batch"] = w.batch_size
         out["critic_iters"] = w.critic_iters
         if args.sec_per_iter:

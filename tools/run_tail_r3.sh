@@ -63,6 +63,8 @@ run_job hlo_breakdown_resnet 900 \
     --dump runs/hlo_resnet_r3.txt.gz
 run_job flagship_ab 1800 \
   python tools/bench_all.py --workloads resnet,resnet_ab --iters 10
+run_job cost_resnet_noclean 600 \
+  python tools/cost_analysis.py --workload resnet --noclean
 
 # resume the queue's lsun128 run for a short leg: proves chip
 # checkpoint/resume for this workload AND measures the zero-host-feed
