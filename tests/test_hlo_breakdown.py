@@ -62,3 +62,43 @@ def test_breakdown_counts_entry_not_fusion_interior():
     # parameters/constants excluded
     assert "parameter" not in by_cat
     assert heaviest[0][0] == fusion_b
+
+
+# Verbatim instruction forms from the first hardware-validated dump
+# (runs/hlo_resnet_r3.txt.gz, round 3): async copy pairs with tuple shapes
+# and S(1)/S(2) memory-space annotations, reduce with a to_apply region,
+# custom-call with operand_layout_constraints.
+TPU_REAL_FORMS = """\
+HloModule jit_step_fn
+
+%reduce_or_computation.63 (x.1: u32[], y.1: u32[]) -> u32[] {
+  %x.1 = u32[]{:T(256)} parameter(0)
+  %y.1 = u32[]{:T(256)} parameter(1)
+  ROOT %or.1 = u32[]{:T(256)} or(%x.1, %y.1)
+}
+
+ENTRY %main.476 (p0.1: u32[256,8,32,128], p1.1: s32[1024]) -> s32[128] {
+  %p0.1 = u32[256,8,32,128]{3,0,2,1:T(8,128)(2,1)} parameter(0)
+  %p1.1 = s32[1024]{0:T(1024)} parameter(1)
+  %shift-left.192 = u32[256,8,32,128]{3,0,2,1:T(8,128)(2,1)} shift-left(%p0.1, %p0.1)
+  %reduce.627 = u32[256,32,128]{2,0,1:T(8,128)} reduce(%shift-left.192, %p1.1), dimensions={1}, to_apply=%reduce_or_computation.63
+  %custom-call.5 = s32[1024]{0:T(1024)} custom-call(%p1.1), custom_call_target="AssumeGatherIndicesInBound", operand_layout_constraints={s32[1024]{0:T(1024)}}, metadata={op_name="jit(step_fn)/jvp(disc)/gather"}
+  %broadcast_add_fusion.8 = u32[128]{0:T(128)} fusion(%custom-call.5), kind=kLoop, calls=%reduce_or_computation.63
+  %copy-start.623 = (u32[128]{0:T(128)}, u32[128]{0:T(128)S(1)}, u32[]{:S(2)}) copy-start(%broadcast_add_fusion.8)
+  ROOT %copy-done.617 = s32[128]{0:T(128)} copy-done(%copy-start.623)
+}
+"""
+
+
+def test_breakdown_real_tpu_forms():
+    by_cat, n_by_cat, by_op_name, heaviest = breakdown(TPU_REAL_FORMS)
+    total = sum(by_cat.values())
+    assert total > 0
+    # reduce: out 256*32*128*4 + operands (256*8*32*128*4 + 1024*4)
+    assert by_cat["reduce"] == 256 * 32 * 128 * 4 + 256 * 8 * 32 * 128 * 4 + 1024 * 4
+    # async copy pair: tuple output of copy-start counts all members
+    assert by_cat["copy-start"] == (128 * 4 + 128 * 4 + 4) + 128 * 4
+    assert by_cat["copy-done"] > 0
+    # custom-call parses despite operand_layout_constraints shapes in attrs
+    assert n_by_cat["custom-call"] == 1
+    assert any("jvp(disc)" in k for k in by_op_name)
