@@ -1,0 +1,140 @@
+"""Flagship layout-copy A/B: XLA-TPU layout flags vs the 4.6 GB/iter of
+layout-change copies.
+
+The round-3 HLO byte attribution (`tools/hlo_breakdown.py`,
+VALIDATION.md "Flagship HBM-byte cut") showed 16.7% of the flagship
+step's HBM traffic is layout-change copies XLA inserts between
+convolutions whose chosen layouts disagree (201 MB bf16[256,32,32,128]
+copies).  Removing them would drop the HBM floor from ~22.2 ms to
+~19.7 ms.  The candidate lever is the compiler's own layout machinery:
+libtpu ships several layout/copy flags (enumerated from the installed
+libtpu.so) that `jax.jit(compiler_options=...)` can flip per-program.
+
+This tool compiles the SAME flagship scan program (identical to
+bench_all's methodology: K iterations inside one jitted lax.scan,
+two window sizes, difference cancels dispatch overhead) under each flag
+arm and prints one JSON line per arm.  Arms whose flag name/value the
+compiler rejects are reported with "error" instead of aborting the
+sweep.
+
+    python tools/layout_ab.py [--iters 10] [--arms base,negotiation,...]
+
+Reference context: the TF-1.2 baseline had no analogue — layout was
+fixed NCHW end-to-end (`tflib/ops/conv2d.py:106-112`); on TPU the
+compiler owns layout, so this sweep is the TPU-native version of that
+design decision.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+ARMS = {
+    "base": None,
+    "negotiation": {"xla_tpu_allow_layout_negotiation": "true"},
+    "autotune": {"xla_tpu_autotune_layouts": "true"},
+    "loop_fusion_layout": {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"},
+    "copy_permute_fusion": {"xla_tpu_enable_copy_permute_minor_fusion": "true"},
+    "layout_hints_off": {"xla_tpu_enable_layout_hints": "false"},
+    "policy_auto": {"xla_tpu_layout_preference_policy": "auto"},
+    "policy_latch": {"xla_tpu_layout_preference_policy": "latch"},
+    "copy_fusion": {"xla_tpu_enable_copy_fusion": "true"},
+}
+
+
+def measure(w, iters, options, label):
+    import jax
+    import jax.numpy as jnp
+
+    state = w.init_state()
+    batch = w.make_batch(0)
+    key = jax.random.PRNGKey(0)
+
+    def multi(state, batch, key, k):
+        def body(carry, _):
+            carry, m = w.step_fn(carry, *batch, key)
+            return carry, m["disc_cost"]
+
+        return jax.lax.scan(body, state, jnp.arange(k))
+
+    jit_multi = jax.jit(multi, static_argnums=3, donate_argnums=0,
+                        compiler_options=options)
+    k1, k2 = max(2, iters // 2), iters * 2
+    t0 = time.perf_counter()
+    try:
+        state, costs = jit_multi(state, batch, key, k1)
+        float(costs[-1])
+    except Exception as e:  # rejected flag, compile failure — keep sweeping
+        print(json.dumps({"arm": label, "error": str(e)[:300]}), flush=True)
+        return
+    state, costs = jit_multi(state, batch, key, k2)
+    float(costs[-1])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, costs = jit_multi(state, batch, key, k1)
+    float(costs[-1])
+    t_k1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, costs = jit_multi(state, batch, key, k2)
+    final_cost = float(costs[-1])
+    t_k2 = time.perf_counter() - t0
+    sec = (t_k2 - t_k1) / (k2 - k1)
+    print(json.dumps({
+        "arm": label,
+        "options": options,
+        "sec_per_iter": round(sec, 5),
+        "images_per_sec": round(w.batch_size * w.critic_iters / sec, 1),
+        "compile_sec": round(compile_s, 1),
+        "disc_cost": final_cost,
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--workload", default="resnet")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize-registered "
+                    "axon backend ignores JAX_PLATFORMS, so this must flip "
+                    "jax.config before backend init)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from ctgan_tpu.core import default_tpu_policy
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    default_tpu_policy(enable_bf16=on_tpu)
+    if on_tpu:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
+
+    from workloads import build_workload
+
+    w = build_workload(args.workload, tiny=args.tiny)
+    for label in args.arms.split(","):
+        if label not in ARMS:
+            print(json.dumps({"arm": label, "error": "unknown arm"}), flush=True)
+            continue
+        measure(w, args.iters, ARMS[label], label)
+
+
+if __name__ == "__main__":
+    main()
