@@ -66,11 +66,11 @@ run_training ssl_cifar_te 5400 runs/ssl_te_r4.log \
   python -m ctgan_tpu.apps.ct_cifar_ssl --epochs 1000 --epoch_scan true \
     --temporal_ensembling true --out_dir runs/ssl_te_r4
 
-# arms not covered by the round-3 probe (check runs/layout_ab_r3.log first;
-# re-run any arm that errored there as well)
-run_job layout_ab 3600 \
-  python tools/layout_ab.py --iters 10 \
-    --arms loop_fusion_layout,copy_permute_fusion,policy_auto,policy_latch,copy_fusion,layout_hints_off
+# ALL arms: the round-3 tail probe produced nothing — the tunnel wedged
+# after the deadline-killed good64 compile (runs/layout_ab_r3.log: 19 min,
+# zero arms, rc=124), so no flag has a chip measurement yet
+run_job layout_ab 5400 \
+  python tools/layout_ab.py --iters 10
 
 run_job hlo_breakdown_good64 3000 \
   python tools/hlo_breakdown.py --workload good64 --top 20 \
