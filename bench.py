@@ -130,6 +130,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from ctgan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ctgan_tpu.core import default_tpu_policy
     from ctgan_tpu.data.synthetic import synthetic_cifar10
     from ctgan_tpu.models import resnet_cifar

@@ -68,7 +68,13 @@ def pick_scorer(channels: int, size: int, out_dir: str, train_data=None):
 
 
 def parse_config(cls, argv=None):
-    """Build argparse from a dataclass; returns an instance."""
+    """Build argparse from a dataclass; returns an instance.
+
+    Also the central opt-in point for the persistent XLA compilation cache
+    (utils.compile_cache) so every app's crash/resume skips recompiles."""
+    from ctgan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=cls.__doc__)
     for f in dataclasses.fields(cls):
         arg = "--" + f.name

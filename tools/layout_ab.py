@@ -45,6 +45,20 @@ ARMS = {
     "policy_auto": {"xla_tpu_layout_preference_policy": "auto"},
     "policy_latch": {"xla_tpu_layout_preference_policy": "latch"},
     "copy_fusion": {"xla_tpu_enable_copy_fusion": "true"},
+    # Second wave (enumerated from libtpu.so, round 4): fusion-time layout
+    # updates, the large-2nd-minor family (the observed copy target layout
+    # {3,0,2,1:T(8,128)(2,1)} differs from the source in its 2nd-minor
+    # ordering), copy-elision budget, and dot/layout ordering policies.
+    "fusion_layout_update": {"xla_tpu_enable_fusion_layout_update": "true"},
+    "large_2nd_minor": {"xla_tpu_enable_large_2nd_minor_layout": "true"},
+    "untiled_layout": {"xla_tpu_enable_untiled_layout": "true"},
+    "reverse_layout_order": {"xla_tpu_reverse_layout_computation_order": "true"},
+    "dot_grouping": {"xla_tpu_layout_use_dot_grouping": "true"},
+    "dot_after_layout": {"xla_tpu_order_dot_after_layout": "true"},
+    "latch_rhs": {"xla_tpu_prefer_latch_optimized_rhs_layouts": "true"},
+    "copy_fusion_split": {"xla_tpu_enable_copy_fusion": "true",
+                          "xla_tpu_copy_fusion_allow_split": "true"},
+    "copy_elision_budget": {"xla_tpu_copy_elision_analysis_allowance": "100000"},
 }
 
 
@@ -72,7 +86,7 @@ def measure(w, iters, options, label):
         float(costs[-1])
     except Exception as e:  # rejected flag, compile failure — keep sweeping
         print(json.dumps({"arm": label, "error": str(e)[:300]}), flush=True)
-        return
+        return None
     state, costs = jit_multi(state, batch, key, k2)
     float(costs[-1])
     compile_s = time.perf_counter() - t0
@@ -85,14 +99,16 @@ def measure(w, iters, options, label):
     final_cost = float(costs[-1])
     t_k2 = time.perf_counter() - t0
     sec = (t_k2 - t_k1) / (k2 - k1)
-    print(json.dumps({
+    result = {
         "arm": label,
         "options": options,
         "sec_per_iter": round(sec, 5),
         "images_per_sec": round(w.batch_size * w.critic_iters / sec, 1),
         "compile_sec": round(compile_s, 1),
         "disc_cost": final_cost,
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    return result
 
 
 def main():
@@ -129,11 +145,30 @@ def main():
     from workloads import build_workload
 
     w = build_workload(args.workload, tiny=args.tiny)
+    results = {}
     for label in args.arms.split(","):
         if label not in ARMS:
             print(json.dumps({"arm": label, "error": "unknown arm"}), flush=True)
             continue
-        measure(w, args.iters, ARMS[label], label)
+        r = measure(w, args.iters, ARMS[label], label)
+        if r is not None:
+            results[label] = r
+
+    # Combo pass: merge every arm that beat base by >1% and measure the
+    # union (flags are independent compiler passes; the union frequently
+    # compounds, but can also regress — hence measured, not assumed).
+    base = results.get("base")
+    if base is not None:
+        improvers = {
+            k: v for k, v in results.items()
+            if v["options"] and v["sec_per_iter"] < base["sec_per_iter"] * 0.99
+        }
+        if len(improvers) >= 2:
+            merged = {}
+            for v in improvers.values():
+                merged.update(v["options"])
+            measure(w, args.iters, merged,
+                    "combo(" + "+".join(sorted(improvers)) + ")")
 
 
 if __name__ == "__main__":

@@ -69,7 +69,7 @@ run_training ssl_cifar_te 5400 runs/ssl_te_r4.log \
 # ALL arms: the round-3 tail probe produced nothing — the tunnel wedged
 # after the deadline-killed good64 compile (runs/layout_ab_r3.log: 19 min,
 # zero arms, rc=124), so no flag has a chip measurement yet
-run_job layout_ab 5400 \
+run_job layout_ab 7200 \
   python tools/layout_ab.py --iters 10
 
 run_job hlo_breakdown_good64 3000 \

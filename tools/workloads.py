@@ -19,6 +19,11 @@ from typing import Callable
 
 sys.path.insert(0, ".")
 
+from ctgan_tpu.utils import enable_compilation_cache
+
+# Tool runs pay the same heavy compiles as the apps; share their cache.
+enable_compilation_cache()
+
 WORKLOADS = ("mnist", "cifar", "resnet", "good64", "lsun128")
 
 
