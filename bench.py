@@ -185,7 +185,10 @@ def main() -> None:
 
         return jax.lax.scan(body, state, jnp.arange(k))
 
-    jit_multi = jax.jit(multi_step, static_argnums=3, donate_argnums=0)
+    from ctgan_tpu.core import tuned_compiler_options
+
+    jit_multi = jax.jit(multi_step, static_argnums=3, donate_argnums=0,
+                        compiler_options=tuned_compiler_options())
     key = jax.random.PRNGKey(0)
     data_args = tuple(sampler.arrays)
     K1, K2 = MEASURE_ITERS, MEASURE_ITERS * 5

@@ -159,10 +159,16 @@ def main(argv=None, cfg: Config | None = None):
         return total / xs.shape[0]
 
     CHUNK = cfg.chunk
-    jit_step = jax.jit(step_with_augment, donate_argnums=0)
-    jit_multi = jax.jit(multi_step_with_augment, donate_argnums=0)
+    from ctgan_tpu.core import tuned_compiler_options
+
+    _opts = tuned_compiler_options()
+    jit_step = jax.jit(step_with_augment, donate_argnums=0,
+                       compiler_options=_opts)
+    jit_multi = jax.jit(multi_step_with_augment, donate_argnums=0,
+                        compiler_options=_opts)
     jit_test = jax.jit(test_fn)
-    jit_epoch = jax.jit(epoch_scan_fn, donate_argnums=0)
+    jit_epoch = jax.jit(epoch_scan_fn, donate_argnums=0,
+                        compiler_options=_opts)
     jit_test_sweep = jax.jit(test_sweep_fn)
     logger = MetricLogger(out_dir)
     bs = cfg.batch_size

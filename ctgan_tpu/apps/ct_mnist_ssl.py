@@ -85,7 +85,10 @@ def main(argv=None, cfg: Config | None = None):
     # whole-epoch chunks through the scanned multi-step: one device dispatch
     # per CHUNK batches instead of one per batch
     CHUNK = 50
-    jit_multi = jax.jit(multi_step_fn, donate_argnums=0)
+    from ctgan_tpu.core import tuned_compiler_options
+
+    jit_multi = jax.jit(multi_step_fn, donate_argnums=0,
+                        compiler_options=tuned_compiler_options())
     jit_test = jax.jit(test_fn)
 
     logger = MetricLogger(out_dir)

@@ -98,7 +98,13 @@ def train_loop(
 ) -> Any:
     logger = logger or MetricLogger()
     restore_cls = type(state)
-    jit_step = jax.jit(step_fn, donate_argnums=0) if cfg.jit_step else step_fn
+    from ctgan_tpu.core import tuned_compiler_options
+
+    jit_step = (
+        jax.jit(step_fn, donate_argnums=0,
+                compiler_options=tuned_compiler_options())
+        if cfg.jit_step else step_fn
+    )
 
     start_iter = 0
     if cfg.resume and cfg.ckpt_dir:

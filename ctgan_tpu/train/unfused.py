@@ -25,9 +25,15 @@ def make_unfused_step(step_fn, *, has_labels: bool):
 
     ``has_labels``: True for the ACGAN trainer (critic takes a label stack).
     """
-    jit_gen = jax.jit(step_fn.gen_substep, donate_argnums=0)
-    jit_critic = jax.jit(step_fn.critic_substep, donate_argnums=0)
-    jit_bump = jax.jit(step_fn.bump_step, donate_argnums=0)
+    from ctgan_tpu.core import tuned_compiler_options
+
+    _opts = tuned_compiler_options()
+    jit_gen = jax.jit(step_fn.gen_substep, donate_argnums=0,
+                      compiler_options=_opts)
+    jit_critic = jax.jit(step_fn.critic_substep, donate_argnums=0,
+                         compiler_options=_opts)
+    jit_bump = jax.jit(step_fn.bump_step, donate_argnums=0,
+                       compiler_options=_opts)
 
     if has_labels:
         def run(state, real_stack, label_stack, base_key):

@@ -40,7 +40,10 @@ def _measure(name, init_state, step_fn, make_batch, batch_size, critic_iters, it
 
         return jax.lax.scan(body, state, jnp.arange(k))
 
-    jit_multi = jax.jit(multi, static_argnums=3, donate_argnums=0)
+    from ctgan_tpu.core import tuned_compiler_options
+
+    jit_multi = jax.jit(multi, static_argnums=3, donate_argnums=0,
+                        compiler_options=tuned_compiler_options())
     k1, k2 = max(2, iters // 2), iters * 2
     t0 = time.perf_counter()
     state, costs = jit_multi(state, batch, key, k1)
@@ -185,7 +188,10 @@ def _io64(args):
                 return step_fn(state, real, key)
         else:
             step = step_fn
-        jit_step = jax.jit(step, donate_argnums=0)
+        from ctgan_tpu.core import tuned_compiler_options
+
+        jit_step = jax.jit(step, donate_argnums=0,
+                           compiler_options=tuned_compiler_options())
         # fresh buffers per path: donate_argnums=0 consumes them
         state = init_state(
             jax.tree.map(lambda x: x.copy(), gp),
