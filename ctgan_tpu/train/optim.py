@@ -39,6 +39,7 @@ __all__ = [
     "adamax",
     "sgd",
     "momentum",
+    "with_state_dtype",
     "clip_grads_by_value",
     "clip_grads_by_global_norm",
     "global_norm",
@@ -204,6 +205,40 @@ def momentum(lr=1e-2, mu=0.9, nesterov=False) -> Optimizer:
             step_dir = grads[k] + mu * m if nesterov else m
             new_p[k] = p - lr_v * step_dir
         return new_p, {"mom": new_mom}
+
+    return Optimizer(init, update)
+
+
+def with_state_dtype(opt: Optimizer, dtype) -> Optimizer:
+    """Store the moment buffers of ``opt`` in ``dtype`` (e.g. bfloat16).
+
+    Params stay fp32 master weights; only the per-param optimizer state
+    trees (m/v/mom/...) are round-tripped through ``dtype`` between steps —
+    on an HBM-bound step this halves the optimizer-state read+write traffic.
+    Scalar entries (the step counter ``t``) keep their dtype.  The update
+    math itself still runs in the inner rule's precision: state is upcast
+    to fp32 before ``opt.update`` and the new state downcast after, so the
+    only numerics change is the storage rounding (bf16 keeps fp32's
+    exponent; ~8 mantissa bits of the moments are kept).
+
+    No reference analogue — TF-1.2 Adam slots were fp32-only; this is the
+    TPU-native byte-cut lever (ships default-off, see AcganConfig).
+    """
+
+    def _cast(tree, to):
+        return {
+            k: ({kk: vv.astype(to) for kk, vv in v.items()}
+                if isinstance(v, dict) else v)
+            for k, v in tree.items()
+        }
+
+    def init(params):
+        return _cast(opt.init(params), dtype)
+
+    def update(grads, state, params, step):
+        new_p, new_s = opt.update(grads, _cast(state, jnp.float32),
+                                  params, step)
+        return new_p, _cast(new_s, dtype)
 
     return Optimizer(init, update)
 

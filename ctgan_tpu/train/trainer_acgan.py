@@ -63,6 +63,11 @@ class AcganConfig:
                                     # pass (independent per-example dropout ==
                                     # two independent passes; valid because
                                     # this D has no batch-coupled norm)
+    opt_state_dtype: str = "float32"  # "bfloat16" stores Adam m/v in bf16
+                                    # (optim.with_state_dtype): an HBM-traffic
+                                    # cut on a byte-bound step; params stay
+                                    # fp32.  Default-off pending an
+                                    # at-schedule equivalence run.
     clean_pass: bool = True         # run the kp=1 monitoring D pass every
                                     # critic substep (reference :232-266 uses
                                     # it only for acc_real/acc_fake).  False
@@ -88,6 +93,10 @@ def make_acgan_trainer(
     lr = schedules.linear_decay(cfg.lr, cfg.iters) if cfg.decay else cfg.lr
     gen_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
     disc_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
+    if cfg.opt_state_dtype != "float32":
+        _sd = jnp.dtype(cfg.opt_state_dtype)
+        gen_optimizer = optim.with_state_dtype(gen_optimizer, _sd)
+        disc_optimizer = optim.with_state_dtype(disc_optimizer, _sd)
     kp1, kp2, kp3 = cfg.kp
     if cfg.remat:
         from .remat import make_remat_disc

@@ -60,6 +60,8 @@ class GanConfig:
                                    # A/B-split memory workaround)
     clip_global_norm: float | None = None  # train_loop_2-style grad clip 5.0
     clip_grad_value: float | None = None   # train_loop v1 per-element clip
+    opt_state_dtype: str = "float32"       # "bfloat16": moment buffers in
+                                           # bf16 (optim.with_state_dtype)
 
 
 class GANState(NamedTuple):
@@ -74,14 +76,21 @@ def _make_optimizers(cfg: GanConfig):
     if cfg.mode in ("wgan-CT", "wgan-ct", "wgan-gp"):
         lr = schedules.linear_decay(cfg.lr, cfg.iters) if cfg.lr_decay else cfg.lr
         mk = lambda: optim.adam(lr, cfg.beta1, cfg.beta2)
-        return mk(), mk()
-    if cfg.mode == "wgan":
-        return optim.rmsprop(5e-5), optim.rmsprop(5e-5)
-    if cfg.mode == "dcgan":
-        return optim.adam(2e-4, 0.5), optim.adam(2e-4, 0.5)
-    if cfg.mode == "lsgan":
-        return optim.rmsprop(1e-4), optim.rmsprop(1e-4)
-    raise ValueError(f"unknown mode {cfg.mode!r}")
+        pair = mk(), mk()
+    elif cfg.mode == "wgan":
+        pair = optim.rmsprop(5e-5), optim.rmsprop(5e-5)
+    elif cfg.mode == "dcgan":
+        pair = optim.adam(2e-4, 0.5), optim.adam(2e-4, 0.5)
+    elif cfg.mode == "lsgan":
+        pair = optim.rmsprop(1e-4), optim.rmsprop(1e-4)
+    else:
+        raise ValueError(f"unknown mode {cfg.mode!r}")
+    if cfg.opt_state_dtype != "float32":
+        import jax.numpy as jnp
+
+        sd = jnp.dtype(cfg.opt_state_dtype)
+        pair = tuple(optim.with_state_dtype(o, sd) for o in pair)
+    return pair
 
 
 def make_gan_trainer(

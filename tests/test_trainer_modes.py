@@ -131,3 +131,62 @@ def test_acgan_clean_pass_off_drops_monitor_not_loss():
         rtol=1e-5,
     )
     assert np.isfinite(np.asarray(m_off["disc_cost"]))
+
+
+def test_bf16_opt_state_close_to_fp32():
+    """opt_state_dtype='bfloat16' stores the Adam moments in bf16 (half the
+    optimizer-state HBM traffic) and stays numerically close to fp32 over
+    several steps.  Storage-only rounding: the update math runs fp32."""
+    rng = np.random.default_rng(1)
+    reals = jnp.asarray(rng.integers(0, 256, size=(2, 8, 3072)), jnp.int32)
+    labs = jnp.asarray(rng.integers(0, 10, size=(2, 8)), jnp.int32)
+
+    state32, step32 = _build_acgan()
+    state16, step16 = _build_acgan(opt_state_dtype="bfloat16")
+
+    # moment buffers are bf16; the step counter keeps fp32
+    assert state16.disc_opt["m"][next(iter(state16.disc_opt["m"]))].dtype == jnp.bfloat16
+    assert state16.disc_opt["t"].dtype == jnp.float32
+    assert state32.disc_opt["m"][next(iter(state32.disc_opt["m"]))].dtype == jnp.float32
+
+    j32, j16 = jax.jit(step32), jax.jit(step16)
+    for i in range(3):
+        key = jax.random.PRNGKey(i)
+        state32, m32 = j32(state32, reals, labs, key)
+        state16, m16 = j16(state16, reals, labs, key)
+    # params remain fp32 master weights in both arms and drift only by the
+    # storage rounding of the moments
+    k = next(iter(state16.disc_params))
+    assert state16.disc_params[k].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(m32["disc_cost"]), np.asarray(m16["disc_cost"]),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_with_state_dtype_rule_equivalence():
+    """optim.with_state_dtype round-trips every per-param state tree and
+    preserves the rule's trajectory within bf16 rounding on a quadratic."""
+    from ctgan_tpu.train import optim
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 32, dtype=jnp.float32)}
+    target = jnp.sin(jnp.arange(32, dtype=jnp.float32))
+
+    def grads_of(p):
+        return {"w": p["w"] - target}
+
+    for mk in (optim.adam, optim.nadam, optim.adamax, optim.rmsprop,
+               optim.momentum):
+        o32, o16 = mk(), optim.with_state_dtype(mk(), jnp.bfloat16)
+        p32 = p16 = params
+        s32, s16 = o32.init(params), o16.init(params)
+        for step in range(10):
+            st = jnp.asarray(step, jnp.float32)
+            p32, s32 = o32.update(grads_of(p32), s32, p32, st)
+            p16, s16 = o16.update(grads_of(p16), s16, p16, st)
+        for key, tree in s16.items():
+            if isinstance(tree, dict):
+                assert tree["w"].dtype == jnp.bfloat16, (mk.__name__, key)
+        np.testing.assert_allclose(
+            np.asarray(p32["w"]), np.asarray(p16["w"]), rtol=2e-2, atol=2e-2
+        ), mk.__name__

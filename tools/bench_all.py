@@ -118,6 +118,9 @@ def main():
             ("_noclean", {"clean_pass": False}),
             ("_remat", {"remat": True}),
             ("_noclean_remat", {"clean_pass": False, "remat": True}),
+            ("_bf16opt", {"opt_state_dtype": "bfloat16"}),
+            ("_noclean_bf16opt", {"clean_pass": False,
+                                  "opt_state_dtype": "bfloat16"}),
         ):
             w = build_workload("resnet", tiny=t, **ov)
             _measure(w.name + label, w.init_state, w.step_fn, w.make_batch,

@@ -91,6 +91,8 @@ def main():
                     help="rematerialized D forward (gan-family workloads)")
     ap.add_argument("--noclean", action="store_true",
                     help="drop the kp=1 monitoring pass (resnet workload)")
+    ap.add_argument("--bf16opt", action="store_true",
+                    help="store Adam moments in bf16 (optim.with_state_dtype)")
     ap.add_argument("--bf16", action="store_true",
                     help="force the bf16 activation policy even off-TPU "
                          "(for byte accounting)")
@@ -129,6 +131,9 @@ def main():
         if args.noclean:
             overrides["clean_pass"] = False
             suffix += "_noclean"
+        if args.bf16opt:
+            overrides["opt_state_dtype"] = "bfloat16"
+            suffix += "_bf16opt"
         w, compiled = compile_workload(args.workload, tiny=args.tiny, **overrides)
         out = analyze(compiled, args.sec_per_iter, args.peak_tflops,
                       args.peak_gbps, name=w.name + suffix)

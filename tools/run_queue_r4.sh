@@ -76,6 +76,13 @@ run_job hlo_breakdown_good64 3000 \
   python tools/hlo_breakdown.py --workload good64 --top 20 \
     --dump runs/hlo_good64_r4.txt.gz
 
+# bf16 optimizer-state A/B (new this round): modeled byte cut + measured
+# step for the flagship; cheap (flagship compiles are ~1 min, now cached)
+run_job cost_bf16opt 1200 \
+  python tools/cost_analysis.py --workload resnet --bf16opt
+run_job bench_resnet_ab 2400 \
+  python tools/bench_all.py --workloads resnet,resnet_ab --iters 10
+
 run_training good64_resume 14400 runs/good64_r4.log \
   python -m ctgan_tpu.apps.ct_gan_64x64 --out_dir runs/good64_r3 \
     --ITERS 200000 --save_every 1000 --sample_every 500 \
