@@ -29,6 +29,8 @@ OUTPUT_DIM = 64 * 64 * 3
 class Config:
     MODE: str = "wgan-ct"
     ARCH: str = "good"
+    REMAT: bool = False              # recompute D forward (HBM escape hatch)
+    OPT_STATE_DTYPE: str = "float32"  # "bfloat16": Adam moments in bf16
     DIM: int = 64
     BATCH_SIZE: int = 64
     CRITIC_ITERS: int = 5
@@ -94,7 +96,7 @@ def main(argv=None, cfg: Config | None = None):
     gcfg = GanConfig(
         mode=cfg.MODE, batch_size=cfg.BATCH_SIZE, critic_iters=cfg.CRITIC_ITERS,
         lambda_gp=cfg.LAMBDA, lambda_ct=cfg.LAMBDA_2, factor_m=cfg.Factor_M,
-        iters=cfg.ITERS,
+        iters=cfg.ITERS, remat=cfg.REMAT, opt_state_dtype=cfg.OPT_STATE_DTYPE,
     )
     init_state, step_fn, sample_fn, _ = make_gan_trainer(gen_fn, disc_fn, gcfg)
     with init_context(seed=cfg.seed) as ctx:

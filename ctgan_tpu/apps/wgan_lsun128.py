@@ -34,6 +34,7 @@ class Config:
     DIM_G_4: int = 1024
     DIM_D_8: int = 1024
     DATA_DIR: str = ""
+    OPT_STATE_DTYPE: str = "float32"  # "bfloat16": Adam moments in bf16
     REMAT: bool = False  # rematerialize the D forward (trades HBM for FLOPs;
                          # measured on v5e it LOSES ~20% wall-clock on the
                          # 64px model and its byte accounting is worse here
@@ -63,6 +64,7 @@ def main(argv=None, cfg: Config | None = None):
         mode="wgan-CT", batch_size=cfg.BATCH_SIZE, critic_iters=cfg.CRITIC_ITERS,
         lambda_ct=cfg.LAMBDA_2, factor_m=cfg.Factor_M, lr=cfg.LR,
         lr_decay=cfg.DECAY, iters=cfg.ITERS, beta1=0.0, remat=cfg.REMAT,
+        opt_state_dtype=cfg.OPT_STATE_DTYPE,
     )
     init_state, step_fn, sample_fn, _ = make_gan_trainer(gen_fn, disc_fn, gcfg)
     with init_context(seed=cfg.seed) as ctx:
