@@ -61,7 +61,8 @@ def analyze(compiled, sec_per_iter=None, peak_tflops=V5E_PEAK_TFLOPS,
     return out
 
 
-def compile_workload(which: str, tiny: bool = False, **overrides):
+def compile_workload(which: str, tiny: bool = False, compiler_options=None,
+                     **overrides):
     """Lower+compile one shared-builder workload's fused step."""
     import jax
 
@@ -71,7 +72,9 @@ def compile_workload(which: str, tiny: bool = False, **overrides):
     state = w.init_state()
     batch = w.make_batch(0)
     key = jax.random.PRNGKey(0)
-    lowered = jax.jit(w.step_fn, donate_argnums=0).lower(state, *batch, key)
+    lowered = jax.jit(w.step_fn, donate_argnums=0,
+                      compiler_options=compiler_options).lower(
+        state, *batch, key)
     return w, lowered.compile()
 
 

@@ -148,6 +148,9 @@ def main():
     ap.add_argument("--dump", default=None,
                     help="also write the optimized HLO text to this path "
                          "(gzip if it ends in .gz) for offline parsing")
+    ap.add_argument("--options", default=None,
+                    help="compiler options as flag=value,flag=value (e.g. a "
+                         "layout_ab winning arm) applied to the compile")
     args = ap.parse_args()
 
     if args.cpu:
@@ -172,7 +175,14 @@ def main():
     from cost_analysis import analyze, compile_workload
 
     overrides = {"remat": True} if args.remat else {}
-    w, compiled = compile_workload(args.workload, tiny=args.tiny, **overrides)
+    opts = None
+    if args.options:
+        from ctgan_tpu.core.compileopts import _parse_env
+
+        opts = _parse_env(args.options)
+        print(f"compiler options: {opts}")
+    w, compiled = compile_workload(args.workload, tiny=args.tiny,
+                                   compiler_options=opts, **overrides)
     summary = analyze(compiled, name=w.name)
     text = compiled.as_text()
     if args.dump:

@@ -72,6 +72,12 @@ run_training ssl_cifar_te 5400 runs/ssl_te_r4.log \
 run_job layout_ab 7200 \
   python tools/layout_ab.py --iters 10
 
+# adopt a validated winner (>=2% faster, matching loss) as the committed
+# tuned flags + confirm on chip that the layout-copy bytes actually fell
+run_job adopt_layout 2400 \
+  python tools/adopt_layout_winner.py --log runs/queue_r4.log --apply \
+    --confirm runs/hlo_resnet_tuned_r4.txt.gz
+
 run_job hlo_breakdown_good64 3000 \
   python tools/hlo_breakdown.py --workload good64 --top 20 \
     --dump runs/hlo_good64_r4.txt.gz
