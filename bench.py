@@ -187,14 +187,24 @@ def main() -> None:
 
     from ctgan_tpu.core import tuned_compiler_options
 
+    _opts = tuned_compiler_options()
     jit_multi = jax.jit(multi_step, static_argnums=3, donate_argnums=0,
-                        compiler_options=tuned_compiler_options())
+                        compiler_options=_opts)
     key = jax.random.PRNGKey(0)
     data_args = tuple(sampler.arrays)
     K1, K2 = MEASURE_ITERS, MEASURE_ITERS * 5
 
     t_compile = time.perf_counter()
-    state1, costs = jit_multi(state, data_args, key, K1)  # compile K1
+    try:
+        state1, costs = jit_multi(state, data_args, key, K1)  # compile K1
+    except Exception:
+        if _opts is None:
+            raise
+        # Tuned flags rejected (e.g. libtpu revision drift): never lose the
+        # headline measurement to a tuning file — fall back to defaults.
+        print(f"tuned compiler options rejected, falling back: {_opts}")
+        jit_multi = jax.jit(multi_step, static_argnums=3, donate_argnums=0)
+        state1, costs = jit_multi(state, data_args, key, K1)
     float(costs[-1])
     state2, costs = jit_multi(state1, data_args, key, K2)  # compile K2
     float(costs[-1])
