@@ -31,6 +31,10 @@ class Config:
     ARCH: str = "good"
     REMAT: bool = False              # recompute D forward (HBM escape hatch)
     OPT_STATE_DTYPE: str = "float32"  # "bfloat16": Adam moments in bf16
+    BF16: bool = True            # bf16 conv/matmul compute on TPU (the step
+                                 # is HBM-byte-bound: 178 GB/iter modeled —
+                                 # fp32 activations double that traffic)
+    PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
     DIM: int = 64
     BATCH_SIZE: int = 64
     CRITIC_ITERS: int = 5
@@ -91,6 +95,17 @@ def pick_arch(cfg: Config):
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
     out_dir = setup_out_dir(cfg)
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and cfg.BF16:
+        from ctgan_tpu.core import default_tpu_policy
+
+        default_tpu_policy(enable_bf16=True)
+    if on_tpu and cfg.PALLAS_DROPOUT:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
+
     gen_fn, disc_fn = pick_arch(cfg)
 
     gcfg = GanConfig(

@@ -41,11 +41,23 @@ class Config:
     inception_samples: int = 1000
     sample_every: int = 100
     save_every: int = 1000
+    BF16: bool = True            # bf16 conv/matmul compute on TPU
+    PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
 
 
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
     out_dir = setup_out_dir(cfg)
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and cfg.BF16:
+        from ctgan_tpu.core import default_tpu_policy
+
+        default_tpu_policy(enable_bf16=True)
+    if on_tpu and cfg.PALLAS_DROPOUT:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
 
     gen_fn = partial(dcgan.cifar_generator, dim=cfg.DIM)
     disc_fn = partial(dcgan.cifar_discriminator, dim=cfg.DIM, mode=cfg.MODE)

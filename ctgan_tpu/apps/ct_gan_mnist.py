@@ -38,9 +38,20 @@ class Config:
     out_dir: str = "runs/ct_gan_mnist"
     save_every: int = 1000
     sample_every: int = 100
+    BF16: bool = True            # bf16 conv/matmul compute on TPU
+    PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
 
 
 def build(cfg: Config):
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and cfg.BF16:
+        from ctgan_tpu.core import default_tpu_policy
+
+        default_tpu_policy(enable_bf16=True)
+    if on_tpu and cfg.PALLAS_DROPOUT:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
     gen_fn = partial(dcgan.mnist_generator, dim=cfg.DIM, mode=cfg.MODE)
     disc_fn = partial(dcgan.mnist_discriminator, dim=cfg.DIM, mode=cfg.MODE)
     critic_iters = 1 if cfg.MODE == "dcgan" else cfg.CRITIC_ITERS

@@ -42,6 +42,10 @@ class Config:
                          # on only if the model does not fit)
     input: str = "hbm"   # hbm: DeviceSampler pool + in-step flip/dequant
                          # (zero host feed per iteration); dir: image dir
+    BF16: bool = True            # bf16 conv/matmul compute on TPU (the step
+                                 # is HBM-byte-bound: 95 GB/iter modeled —
+                                 # fp32 activations double that traffic)
+    PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
     seed: int = 0
     out_dir: str = "runs/wgan_lsun128"
     sample_every: int = 200
@@ -51,6 +55,16 @@ class Config:
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
     out_dir = setup_out_dir(cfg)
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and cfg.BF16:
+        from ctgan_tpu.core import default_tpu_policy
+
+        default_tpu_policy(enable_bf16=True)
+    if on_tpu and cfg.PALLAS_DROPOUT:
+        from ctgan_tpu.ops.dropout import enable_pallas_dropout
+
+        enable_pallas_dropout(True)
 
     mcfg = lsun128.Lsun128Config(dim_g_4=cfg.DIM_G_4, dim_d_8=cfg.DIM_D_8)
 

@@ -44,8 +44,8 @@ def _mask_kernel(seed_ref, thresh_ref, scale_ref, out_ref):
     out_ref[:] = jnp.where(keep, scale_ref[0], 0.0).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _mask_padded(seed: jax.Array, n_rows: int, keep_prob: float, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _mask_padded(seed: jax.Array, n_rows: int, keep_prob: float, interpret: bool, dtype=jnp.float32):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -55,7 +55,7 @@ def _mask_padded(seed: jax.Array, n_rows: int, keep_prob: float, interpret: bool
     grid = (pl.cdiv(n_rows, _BLOCK_ROWS),)
     return pl.pallas_call(
         _mask_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, _LANES), dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -77,8 +77,21 @@ def _mask_padded(seed: jax.Array, n_rows: int, keep_prob: float, interpret: bool
     )
 
 
-def dropout_mask(seed: jax.Array, shape, keep_prob: float, *, interpret: bool = False) -> jax.Array:
-    """Scaled keep-mask (values 0 or 1/keep_prob) of ``shape``, fp32.
+def dropout_mask(
+    seed: jax.Array,
+    shape,
+    keep_prob: float,
+    *,
+    interpret: bool = False,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Scaled keep-mask (values 0 or 1/keep_prob) of ``shape``.
+
+    ``dtype`` is the storage dtype of the emitted mask.  The scale is always
+    computed as fp32 ``1/keep_prob`` and then rounded to ``dtype`` — bit-
+    identical to materializing the fp32 mask and casting, but without ever
+    writing the 4-byte version to HBM (the mask is kept alive for the
+    backward multiply, so on byte-bound steps its residency is paid twice).
 
     Off-TPU (tests, CPU dry runs) the mask comes from ``jax.random`` with the
     same (seed -> mask) determinism contract — the TPU PRNG primitives have
@@ -88,11 +101,11 @@ def dropout_mask(seed: jax.Array, shape, keep_prob: float, *, interpret: bool = 
     if jax.default_backend() in ("cpu",) or interpret:
         key = jax.random.PRNGKey(seed.astype(jnp.uint32) if hasattr(seed, "astype") else seed)
         keep = jax.random.uniform(key, shape) < keep_prob
-        return jnp.where(keep, np.float32(1.0 / keep_prob), 0.0)
+        return jnp.where(keep, np.float32(1.0 / keep_prob), 0.0).astype(dtype)
     n_rows = -(-n // _LANES)
     # round rows up to a block multiple so every grid step is full
     n_rows = -(-n_rows // _BLOCK_ROWS) * _BLOCK_ROWS
-    flat = _mask_padded(seed, n_rows, float(keep_prob), False)
+    flat = _mask_padded(seed, n_rows, float(keep_prob), False, jnp.dtype(dtype))
     return flat.reshape(-1)[:n].reshape(shape)
 
 
@@ -104,8 +117,13 @@ def pallas_dropout(
     interpret: bool = False,
 ) -> jax.Array:
     """Dropout via the Pallas mask kernel: ``x * mask`` (mask is constant to
-    autodiff — safe under grad-of-grad)."""
+    autodiff — safe under grad-of-grad).
+
+    The mask is emitted directly in ``x.dtype`` (same values as the fp32
+    mask cast to ``x.dtype``, which is what the multiply consumed anyway) so
+    the tensor XLA keeps alive for the backward multiply is half-width on
+    bf16 activation paths."""
     if keep_prob >= 1.0:
         return x
-    mask = dropout_mask(seed, x.shape, keep_prob, interpret=interpret)
-    return x * mask.astype(x.dtype)
+    mask = dropout_mask(seed, x.shape, keep_prob, interpret=interpret, dtype=x.dtype)
+    return x * mask

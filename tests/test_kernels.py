@@ -24,6 +24,29 @@ def test_mask_shape_and_dtype_cpu_interpret():
     assert mask.dtype == jnp.float32
 
 
+def test_mask_native_dtype_matches_fp32_cast():
+    """dtype= emits the SAME values as the fp32 mask cast after the fact
+    (what the multiply consumed before) — the half-width storage is a pure
+    HBM-traffic cut, not a numerics change."""
+    seed = jnp.asarray(13, jnp.int32)
+    f32 = dropout_mask(seed, (5, 33), 0.8, interpret=True)
+    bf16 = dropout_mask(seed, (5, 33), 0.8, interpret=True, dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.astype(jnp.bfloat16)), np.asarray(bf16)
+    )
+
+
+def test_pallas_dropout_bf16_output_dtype():
+    """bf16 activations keep their dtype through pallas_dropout, and the
+    kept values are exactly x * (1/kp rounded to bf16)."""
+    x = jnp.full((4, 64), 3.0, jnp.bfloat16)
+    y = pallas_dropout(x, jnp.asarray(5, jnp.int32), 0.5, interpret=True)
+    assert y.dtype == jnp.bfloat16
+    vals = set(np.unique(np.asarray(y, dtype=np.float32)))
+    assert vals.issubset({0.0, 6.0})
+
+
 def test_keep_prob_one_identity():
     x = jnp.ones((4, 4))
     y = pallas_dropout(x, jnp.asarray(0, jnp.int32), 1.0, interpret=True)

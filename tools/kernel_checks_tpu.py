@@ -55,6 +55,15 @@ def main() -> None:
         results.append({"check": f"keep_prob_{kp}", "ok": abs(keep - kp) < 0.02 and scale_ok,
                         "keep_fraction": round(keep, 4)})
 
+    # native-bf16 mask: same seed -> same keep pattern as fp32, values {0, 2}
+    mf = np.asarray(dropout_mask(jnp.asarray(21, jnp.int32), (64, 1024), 0.5))
+    mb = np.asarray(
+        dropout_mask(jnp.asarray(21, jnp.int32), (64, 1024), 0.5, dtype=jnp.bfloat16),
+        dtype=np.float32,
+    )
+    results.append({"check": "mask_bf16_native",
+                    "ok": bool(np.array_equal(mf, mb))})
+
     for r in results:
         r["device"] = str(jax.devices()[0])
         print(json.dumps(r))

@@ -62,6 +62,11 @@ run_training() {  # run_training <name> <max_secs> <logfile> <cmd...>
   done
 }
 
+# fast first: validates the chip is really up + the new native-bf16 dropout
+# mask (same seed -> same keep pattern as fp32) before the heavy legs
+run_job kernel_checks 900 \
+  python tools/kernel_checks_tpu.py
+
 run_training ssl_cifar_te 5400 runs/ssl_te_r4.log \
   python -m ctgan_tpu.apps.ct_cifar_ssl --epochs 1000 --epoch_scan true \
     --temporal_ensembling true --out_dir runs/ssl_te_r4
@@ -88,6 +93,17 @@ run_job cost_bf16opt 1200 \
   python tools/cost_analysis.py --workload resnet --bf16opt
 run_job bench_resnet_ab 2400 \
   python tools/bench_all.py --workloads resnet,resnet_ab --iters 10
+
+# re-record the byte model + step after the native-bf16 dropout mask change
+# (masks previously materialized fp32 then cast; now emitted half-width)
+run_job cost_resnet_postmask 1200 \
+  python tools/cost_analysis.py --workload resnet
+run_job cost_good64_postmask 3600 \
+  python tools/cost_analysis.py --workload good64
+# (good64's post-change step time comes free from the resume leg's logs —
+# its 500-1100 s compile is too dear to spend on a bench duplicate)
+run_job bench_lsun_postmask 2400 \
+  python tools/bench_all.py --workloads lsun128 --iters 5 --lsun_remat off
 
 run_training good64_resume 14400 runs/good64_r4.log \
   python -m ctgan_tpu.apps.ct_gan_64x64 --out_dir runs/good64_r3 \
