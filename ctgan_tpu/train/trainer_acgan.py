@@ -195,14 +195,14 @@ def make_acgan_trainer(
             g_grads, state.gen_opt, state.gen_params, state.step
         )
         do_gen = (state.step > 0).astype(jnp.float32)
-        gen_params = jax.tree.map(
-            lambda new, old: do_gen * new + (1.0 - do_gen) * old,
-            new_gen_params, state.gen_params,
-        )
-        gen_opt = jax.tree.map(
-            lambda new, old: do_gen * new + (1.0 - do_gen) * old,
-            new_gen_opt, state.gen_opt,
-        )
+        # blend in fp32 but keep each leaf's storage dtype (bf16 opt-state
+        # leaves must round-trip unchanged or the scan carry dtypes diverge;
+        # do_gen is exactly 0 or 1 so the cast back is lossless)
+        blend = lambda new, old: (
+            do_gen * new + (1.0 - do_gen) * old
+        ).astype(old.dtype)
+        gen_params = jax.tree.map(blend, new_gen_params, state.gen_params)
+        gen_opt = jax.tree.map(blend, new_gen_opt, state.gen_opt)
         return (
             AcganState(gen_params, state.disc_params, gen_opt, state.disc_opt, state.step),
             g_cost,

@@ -154,6 +154,12 @@ def test_bf16_opt_state_close_to_fp32():
         key = jax.random.PRNGKey(i)
         state32, m32 = j32(state32, reals, labs, key)
         state16, m16 = j16(state16, reals, labs, key)
+        # the step must preserve the storage dtype of every opt-state leaf —
+        # the gen-side do_gen blend used to upcast bf16 moments to fp32,
+        # which broke any lax.scan over the step (carry dtype mismatch)
+        for opt in (state16.gen_opt, state16.disc_opt):
+            assert opt["m"][next(iter(opt["m"]))].dtype == jnp.bfloat16
+            assert opt["v"][next(iter(opt["v"]))].dtype == jnp.bfloat16
     # params remain fp32 master weights in both arms and drift only by the
     # storage rounding of the moments
     k = next(iter(state16.disc_params))

@@ -121,6 +121,11 @@ def main():
             ("_bf16opt", {"opt_state_dtype": "bfloat16"}),
             ("_noclean_bf16opt", {"clean_pass": False,
                                   "opt_state_dtype": "bfloat16"}),
+            # two batch-128 CT passes instead of one batch-256 pass: fewer
+            # tensors in the 256-row layout domain where the HLO attribution
+            # found the 201 MB layout-change copies (identical numerics —
+            # per-example dropout makes the passes independent either way)
+            ("_unfused_ct", {"fuse_ct_passes": False}),
         ):
             w = build_workload("resnet", tiny=t, **ov)
             _measure(w.name + label, w.init_state, w.step_fn, w.make_batch,
