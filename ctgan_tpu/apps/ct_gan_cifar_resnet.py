@@ -57,6 +57,10 @@ class Config:
                                  # ~40% when activations already fit)
     OPT_STATE_DTYPE: str = "float32"  # "bfloat16" halves Adam-state traffic
                                  # (optim.with_state_dtype); experimental
+    FUSE_CT_PASSES: bool = True  # one 2x-batch D pass for the CT pair vs
+                                 # two single-batch passes (identical
+                                 # numerics; layout A/B lever — bench_all
+                                 # resnet_ab measures both)
     MODEL_AXIS: int = 1          # tensor-parallel mesh axis; >1 switches to
                                  # the TP-safe unfused step (see
                                  # docs/XLA_GSPMD_SCAN_BUG.md)
@@ -105,6 +109,7 @@ def main(argv=None, cfg: Config | None = None):
         acgan_scale=cfg.ACGAN_SCALE, acgan_scale_g=cfg.ACGAN_SCALE_G,
         clean_pass=cfg.CLEAN_PASS, remat=cfg.REMAT,
         opt_state_dtype=cfg.OPT_STATE_DTYPE,
+        fuse_ct_passes=cfg.FUSE_CT_PASSES,
     )
     init_state, step_fn, sample_fn, generate_fn, dev_cost_fn = make_acgan_trainer(gen_fn, disc_fn, tcfg)
 
