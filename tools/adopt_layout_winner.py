@@ -66,7 +66,7 @@ def pick_winner(results, min_gain=0.02, loss_rtol=5e-3):
                   f"deviates {loss_dev:.2e} (> {loss_rtol:.0e})")
     if not ok:
         return None, f"no arm beat base by >= {min_gain*100:.0f}% with matching loss"
-    ok.sort(reverse=True)
+    ok.sort(key=lambda t: (t[0], t[1]), reverse=True)
     gain, label, r = ok[0]
     return (label, r, gain), None
 
