@@ -202,7 +202,11 @@ def main() -> None:
             raise
         # Tuned flags rejected (e.g. libtpu revision drift): never lose the
         # headline measurement to a tuning file — fall back to defaults.
+        # Rebuild state: if the failure hit at execution (not compile) time,
+        # the donated input buffers are already consumed.
         print(f"tuned compiler options rejected, falling back: {_opts}")
+        gen_params, disc_params = _init_flagship(cfg_model)  # donated above
+        state = init_state(gen_params, disc_params)
         jit_multi = jax.jit(multi_step, static_argnums=3, donate_argnums=0)
         state1, costs = jit_multi(state, data_args, key, K1)
     float(costs[-1])

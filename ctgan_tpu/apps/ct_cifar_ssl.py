@@ -185,7 +185,10 @@ def main(argv=None, cfg: Config | None = None):
     if cfg.epoch_scan:
         # dataset to HBM once; epochs feed only [nr_batches, bs] index arrays
         dev_data = (jnp.asarray(txs), jnp.asarray(tys), jnp.asarray(trainx))
-        nb_test = (len(testx) - bs + 1) // bs
+        # match the chunked path's batch count: range(0, len-bs+1, bs) visits
+        # len//bs batches ((len-bs+1)//bs under-counts by one and is 0 when
+        # len == bs, which made the scanned sweep drop a full test batch)
+        nb_test = len(testx) // bs
         test_xs = jnp.asarray(testx[: nb_test * bs].reshape(nb_test, bs, *testx.shape[1:]))
         test_ys = jnp.asarray(testy[: nb_test * bs].reshape(nb_test, bs))
 

@@ -31,13 +31,19 @@ def _cpu_epoch_perm(seed: int, epoch: int, n: int) -> np.ndarray:
     on the host CPU backend — bit-identical to DeviceSampler's in-trace
     fallback without a device round trip (tunneled TPUs pay ~1s per eager
     device op)."""
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+    def _derive():
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+        return np.asarray(jax.random.permutation(key, n))
+
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
-        return np.asarray(jax.random.permutation(key, n))
+        return _derive()
+    # key construction must ALSO run under the CPU device, or PRNGKey/fold_in
+    # dispatch two eager ops to the default (tunneled TPU) backend per epoch
+    # — exactly the round trips this helper exists to avoid
     with jax.default_device(cpu):
-        return np.asarray(jax.random.permutation(key, n))
+        return _derive()
 
 
 class EpochIterator:

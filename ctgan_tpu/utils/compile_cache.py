@@ -32,7 +32,11 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return None
     cache_dir = path or env or _DEFAULT
     if _done:
-        return cache_dir
+        # the first call's directory is the one jax is actually writing to;
+        # report it rather than a newly requested (but unapplied) path
+        import jax
+
+        return jax.config.jax_compilation_cache_dir
     import jax
 
     os.makedirs(cache_dir, exist_ok=True)

@@ -80,8 +80,13 @@ class BestParamSaver:
 
     def update(self, value: float | None, params: Mapping[str, Any]) -> bool:
         """Record an evaluation; returns True if this is a new best."""
-        if not self.track or value is None:
+        if not self.track:
             self._snapshot = {k: np.asarray(v) for k, v in params.items()}
+            return False
+        if value is None:
+            # tracked mode with a skipped evaluation: keep the current BEST
+            # snapshot (overwriting it with the latest params would save
+            # non-best params labeled as best)
             return False
         value = float(value)
         better = (

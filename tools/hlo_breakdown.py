@@ -47,11 +47,6 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*([^=]+?)\s*(\w+)\((.*)$"
-)
-
-
 def categorize(kind: str, line: str) -> str:
     if kind == "fusion":
         m = re.search(r'kind=(\w+)', line)

@@ -76,7 +76,13 @@ def main():
     key = jax.random.PRNGKey(0)
     k = w.critic_iters
 
-    fused = jax.jit(w.step_fn, donate_argnums=0)
+    # same tuned compiler options as the unfused arm's substeps (applied by
+    # make_unfused_step) — otherwise the A/B mixes flag effects into the
+    # dispatch-overhead difference once tuned_xla_flags.json exists
+    from ctgan_tpu.core import tuned_compiler_options
+
+    fused = jax.jit(w.step_fn, donate_argnums=0,
+                    compiler_options=tuned_compiler_options())
     sec_fused, _ = _time_arm(fused, w.init_state(), w.make_batch(0), key, args.iters)
 
     unfused = make_unfused_step(w.step_fn, has_labels=args.workload == "resnet")
