@@ -67,7 +67,10 @@ run_training() {  # run_training <name> <max_secs> <logfile> <cmd...>
 run_job kernel_checks 900 \
   python tools/kernel_checks_tpu.py
 
-run_training ssl_cifar_te 5400 runs/ssl_te_r4.log \
+# budget-bound: ~200 epochs at the measured 20.6 s/epoch is firmly
+# "at schedule, hundreds of epochs" evidence; the run is resumable if a
+# later slot wants to extend it
+run_training ssl_cifar_te 4200 runs/ssl_te_r4.log \
   python -m ctgan_tpu.apps.ct_cifar_ssl --epochs 1000 --epoch_scan true \
     --temporal_ensembling true --out_dir runs/ssl_te_r4
 
@@ -83,21 +86,20 @@ run_job adopt_layout 2400 \
   python tools/adopt_layout_winner.py --log runs/queue_r4.log --apply \
     --confirm runs/hlo_resnet_tuned_r4.txt.gz
 
-run_job hlo_breakdown_good64 3000 \
-  python tools/hlo_breakdown.py --workload good64 --top 20 \
-    --dump runs/hlo_good64_r4.txt.gz
-
-# bf16 optimizer-state A/B (new this round): modeled byte cut + measured
-# step for the flagship; cheap (flagship compiles are ~1 min, now cached)
+# cheap flagship jobs first (compiles ~1 min, cache-warm): bf16 opt-state
+# A/B + the post-native-bf16-mask byte model + step re-records
 run_job cost_bf16opt 1200 \
   python tools/cost_analysis.py --workload resnet --bf16opt
+run_job cost_resnet_postmask 1200 \
+  python tools/cost_analysis.py --workload resnet
 run_job bench_resnet_ab 2400 \
   python tools/bench_all.py --workloads resnet,resnet_ab --iters 10
 
-# re-record the byte model + step after the native-bf16 dropout mask change
-# (masks previously materialized fp32 then cast; now emitted half-width)
-run_job cost_resnet_postmask 1200 \
-  python tools/cost_analysis.py --workload resnet
+# expensive good64 compiles (~500-1100 s each on the tunnel) after the
+# cheap flagship batch
+run_job hlo_breakdown_good64 3000 \
+  python tools/hlo_breakdown.py --workload good64 --top 20 \
+    --dump runs/hlo_good64_r4.txt.gz
 run_job cost_good64_postmask 3600 \
   python tools/cost_analysis.py --workload good64
 # (good64's post-change step time comes free from the resume leg's logs —
