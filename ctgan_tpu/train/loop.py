@@ -194,4 +194,10 @@ def train_loop(
         logger.tick()
 
     drain()
+    # Final flush: without it, up to print_every-1 iterations of metrics
+    # buffered since the last cadence flush vanish at every clean exit or
+    # budget cut (observed: a 12-iteration run logged only iters 0-4).
+    if logger._since_flush:
+        logger.set_iteration(logger._iter - 1)  # label = last included iter,
+        logger.flush()                          # matching the cadence flushes
     return state

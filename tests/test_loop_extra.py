@@ -52,6 +52,25 @@ def test_loop_runs_and_checkpoints(tmp_path):
     assert int(out2.step) == 8
 
 
+def test_final_partial_window_is_flushed(tmp_path):
+    """Metrics buffered since the last cadence flush must be emitted when
+    the loop exits (12-iter run with print_every=100 used to log only
+    iters 0-4, dropping 5-11)."""
+    import json
+
+    state = ToyState(jnp.zeros(()), jnp.zeros((), jnp.int32))
+    cfg = LoopConfig(iters=12, print_every=100, print_first=5,
+                     nan_check_every=None)
+    logger = MetricLogger(out_dir=str(tmp_path))
+    train_loop(state, _toy_step, _batches, jax.random.PRNGKey(0), cfg,
+               logger=logger)
+    rows = [json.loads(l) for l in open(tmp_path / "log.ndjson")]
+    assert rows[-1]["iteration"] == 11  # labeled by the last included iter
+    # the tail window's mean covers iters 5..11: cost = x after each step
+    np.testing.assert_allclose(rows[-1]["cost"], np.mean(np.arange(6, 13)))
+    assert not logger._since_flush
+
+
 def test_time_based_print(tmp_path, capsys):
     state = ToyState(jnp.zeros(()), jnp.zeros((), jnp.int32))
     # print_every huge, but every-0-seconds forces a flush per iteration

@@ -59,6 +59,12 @@ ARMS = {
     "copy_fusion_split": {"xla_tpu_enable_copy_fusion": "true",
                           "xla_tpu_copy_fusion_allow_split": "true"},
     "copy_elision_budget": {"xla_tpu_copy_elision_analysis_allowance": "100000"},
+    # Model-level arm (no compiler flags): trace every 2-D conv under NCHW
+    # logical order (core/matmul.conv_dim_order) so layout assignment
+    # negotiates over a different operand order.  Marked by the sentinel —
+    # adopt_layout_winner skips it (options=None in the result); adopting a
+    # win here is the CTGAN_CONV_DIM_ORDER=NCHW env knob instead.
+    "nchw_hint": "MODEL:NCHW",
 }
 
 
@@ -150,7 +156,17 @@ def main():
         if label not in ARMS:
             print(json.dumps({"arm": label, "error": "unknown arm"}), flush=True)
             continue
-        r = measure(w, args.iters, ARMS[label], label)
+        arm = ARMS[label]
+        if isinstance(arm, str) and arm.startswith("MODEL:"):
+            from ctgan_tpu.core import matmul
+
+            matmul.conv_dim_order(arm.split(":", 1)[1])
+            try:
+                r = measure(w, args.iters, None, label)
+            finally:
+                matmul.conv_dim_order("NHWC")
+        else:
+            r = measure(w, args.iters, arm, label)
         if r is not None:
             results[label] = r
 
