@@ -129,45 +129,16 @@ def main(argv=None, cfg: Config | None = None):
     run_step = step_fn
     data_state = set_data_state = None
     if not cfg.DATA_DIR and cfg.input == "hbm":
-        # HBM-resident pool + in-step selection/flip/dequant: the training
-        # loop feeds only (step_idx, perm) per iteration
-        from ..data import DeviceSampler
-        from ..data.augment import random_flip
+        # HBM-resident pool + in-step selection/flip/dequant (fully
+        # host-free input; measured rationale in data/hbm_input.py)
+        from ..data.hbm_input import make_hbm_input
 
         flat, labels = synthetic_images(4096, 3, 64, seed=cfg.seed)
         scorer_train = (flat, labels)
-        sampler = DeviceSampler(
-            [flat.astype("int32")], cfg.BATCH_SIZE, critic_iters, seed=cfg.seed
+        run_step, next_batch, data_state, set_data_state = make_hbm_input(
+            step_fn, flat, batch_size=cfg.BATCH_SIZE,
+            critic_iters=critic_iters, chw=(3, 64, 64), seed=cfg.seed,
         )
-        data_args = tuple(sampler.arrays)
-        counter = {"i": 0}
-
-        def run_step(state, data, key):
-            # Fully host-free input: the step index comes from device state
-            # (state.step counts loop iterations exactly like the host
-            # counter) and the epoch permutation is computed IN-TRACE
-            # (perm=None) — a 4096-element device sort is noise next to the
-            # step, while the per-epoch host_perm transfer cost ~2.9 s on
-            # the tunneled runtime (~0.26 s/iter amortized over the 12-iter
-            # epoch; data-time column, runs/good64_r3.log).  host_perm
-            # remains the right call at flagship scale (n=50k, where the
-            # in-trace sort is 0.25 s/iter).  Both derive from the same
-            # jax.random stream, so the batch sequence is bit-identical.
-            raw = sampler.sample(state.step, data)  # [K, B, 3*64*64]
-            x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
-            imgs = x.reshape(-1, 3, 64, 64).transpose(0, 2, 3, 1)
-            imgs = random_flip(imgs, jax.random.fold_in(key, state.step))
-            x = imgs.transpose(0, 3, 1, 2).reshape(
-                critic_iters, cfg.BATCH_SIZE, OUTPUT_DIM
-            )
-            return step_fn(state, x, key)
-
-        def next_batch():
-            counter["i"] += 1
-            return (data_args,)
-
-        data_state = lambda: {"i": counter["i"]}
-        set_data_state = lambda s: counter.update(i=int(s["i"]))
 
     elif not cfg.DATA_DIR and cfg.input == "native" and native_available():
         # native C++ batcher: threaded shuffle + flip + normalize over the

@@ -92,41 +92,16 @@ def main(argv=None, cfg: Config | None = None):
     data_state = set_data_state = None
     if not cfg.DATA_DIR and cfg.input == "hbm":
         # HBM-resident synthetic pool; selection/flip/dequant inside the
-        # jitted step — zero host->device feed per iteration (the tunneled
-        # host feed costs ~3x step time, runs/final_pass_r2.log io64 rows)
-        from ..data import DeviceSampler
-        from ..data.augment import random_flip
+        # jitted step — zero host->device feed per iteration (measured
+        # rationale in data/hbm_input.py)
+        from ..data.hbm_input import make_hbm_input
         from ..data.synthetic import synthetic_images
 
         flat_pool, _ = synthetic_images(2048, 3, 128, seed=cfg.seed)
-        sampler = DeviceSampler(
-            [flat_pool.astype("int32")], cfg.BATCH_SIZE, cfg.CRITIC_ITERS,
-            seed=cfg.seed,
+        run_step, next_batch, data_state, set_data_state = make_hbm_input(
+            step_fn, flat_pool, batch_size=cfg.BATCH_SIZE,
+            critic_iters=cfg.CRITIC_ITERS, chw=(3, 128, 128), seed=cfg.seed,
         )
-        data_args = tuple(sampler.arrays)
-        counter = {"i": 0}
-
-        def run_step(state, data, key):
-            # Fully host-free input: step index from device state, epoch
-            # permutation in-trace (2048-element sort is noise; the
-            # per-epoch host_perm transfer cost ~0.48 s/iter amortized over
-            # this pool's 6-iter epochs on the tunneled runtime — see
-            # ct_gan_64x64 for the full account)
-            raw = sampler.sample(state.step, data)
-            x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
-            imgs = x.reshape(-1, 3, 128, 128).transpose(0, 2, 3, 1)
-            imgs = random_flip(imgs, jax.random.fold_in(key, state.step))
-            x = imgs.transpose(0, 3, 1, 2).reshape(
-                cfg.CRITIC_ITERS, cfg.BATCH_SIZE, OUTPUT_DIM
-            )
-            return step_fn(state, x, key)
-
-        def next_batch():
-            counter["i"] += 1
-            return (data_args,)
-
-        data_state = lambda: {"i": counter["i"]}
-        set_data_state = lambda s: counter.update(i=int(s["i"]))
     else:
         gen = images_dir.prefetch(
             stack_batches(
