@@ -56,3 +56,25 @@ def test_rerun_supersedes():
     assert results["autotune"]["sec_per_iter"] == 0.0260
     win, _ = pick_winner(results)
     assert win is None
+
+
+def test_combo_candidates_exclude_loss_deviating_arms():
+    # layout_ab's combo pass must not merge an arm whose disc_cost moved:
+    # the merged measurement would fail adopt_layout_winner's loss gate.
+    from layout_ab import combo_candidates
+
+    results = parse_results([
+        _line("base", 0.0246, options=None),
+        _line("negotiation", 0.0240),                 # -2.4%, loss matches
+        _line("layout_hints_off", 0.0239),            # -2.8%, loss matches
+        _line("fusion_layout_update", 0.0238, cost=-13.52),  # faster, wrong loss
+        _line("latch_rhs", 0.02455),                  # <1% — too small
+    ])
+    cand = combo_candidates(results)
+    assert set(cand) == {"negotiation", "layout_hints_off"}
+
+
+def test_combo_candidates_no_base():
+    from layout_ab import combo_candidates
+
+    assert combo_candidates(parse_results([_line("autotune", 0.02)])) == {}

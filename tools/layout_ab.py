@@ -117,10 +117,35 @@ def measure(w, iters, options, label):
     return result
 
 
+def combo_candidates(results, min_gain=0.01, loss_rtol=5e-3):
+    """Arms worth merging into the combo measurement.
+
+    Only flag arms that beat base by ``min_gain`` AND reproduced base's
+    disc_cost qualify: an arm that changed numerics would make the whole
+    combo unadoptable under adopt_layout_winner's matching-loss gate
+    (``loss_rtol`` kept in sync with ``pick_winner``), wasting the slot.
+    """
+    base = results.get("base")
+    if base is None or "sec_per_iter" not in base:
+        return {}
+    return {
+        k: v for k, v in results.items()
+        if v.get("options") and "sec_per_iter" in v
+        and v["sec_per_iter"] < base["sec_per_iter"] * (1.0 - min_gain)
+        and abs(v["disc_cost"] - base["disc_cost"])
+        <= loss_rtol * max(abs(base["disc_cost"]), 1e-6)
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--combo_from", default=None,
+                    help="path to a prior sweep's log: skip the per-arm "
+                    "sweep and measure only base + the merged combo of that "
+                    "log's loss-matching >1%% improvers (2 compiles instead "
+                    "of a full re-sweep)")
     ap.add_argument("--workload", default="resnet")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -151,6 +176,26 @@ def main():
     from workloads import build_workload
 
     w = build_workload(args.workload, tiny=args.tiny)
+
+    if args.combo_from:
+        from adopt_layout_winner import parse_results
+
+        prior = parse_results(open(args.combo_from).readlines())
+        improvers = combo_candidates(prior)
+        if len(improvers) < 2:
+            print(json.dumps({"arm": "combo", "error":
+                              f"only {len(improvers)} loss-matching improvers "
+                              f"in {args.combo_from} — nothing to merge"}),
+                  flush=True)
+            return
+        merged = {}
+        for v in improvers.values():
+            merged.update(v["options"])
+        measure(w, args.iters, None, "base")
+        measure(w, args.iters, merged,
+                "combo(" + "+".join(sorted(improvers)) + ")")
+        return
+
     results = {}
     for label in args.arms.split(","):
         if label not in ARMS:
@@ -173,18 +218,13 @@ def main():
     # Combo pass: merge every arm that beat base by >1% and measure the
     # union (flags are independent compiler passes; the union frequently
     # compounds, but can also regress — hence measured, not assumed).
-    base = results.get("base")
-    if base is not None:
-        improvers = {
-            k: v for k, v in results.items()
-            if v["options"] and v["sec_per_iter"] < base["sec_per_iter"] * 0.99
-        }
-        if len(improvers) >= 2:
-            merged = {}
-            for v in improvers.values():
-                merged.update(v["options"])
-            measure(w, args.iters, merged,
-                    "combo(" + "+".join(sorted(improvers)) + ")")
+    improvers = combo_candidates(results)
+    if len(improvers) >= 2:
+        merged = {}
+        for v in improvers.values():
+            merged.update(v["options"])
+        measure(w, args.iters, merged,
+                "combo(" + "+".join(sorted(improvers)) + ")")
 
 
 if __name__ == "__main__":
