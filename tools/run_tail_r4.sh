@@ -32,6 +32,12 @@ run_job() {  # run_job <name> <max_secs> <cmd...>
 run_job combo_probe 2400 \
   python tools/layout_ab.py --iters 10 --combo_from runs/queue_r4.log
 
+# 1b. the model-level NCHW-order arm the wedged sweep never reached
+#     (options=None sentinel — never auto-adopted, measured for the record;
+#     compares against the combo probe's fresh base in this same log)
+run_job nchw_probe 1500 \
+  python tools/layout_ab.py --iters 10 --arms nchw_hint
+
 # 2. pick the fastest loss-matching arm across the full sweep AND the combo;
 #    the tail's fresh base supersedes the sweep's (last-per-arm dedup)
 cat runs/queue_r4.log "$LOG" > runs/_adopt_all_r4.log 2>/dev/null
