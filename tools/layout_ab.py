@@ -65,6 +65,28 @@ ARMS = {
     # adopt_layout_winner skips it (options=None in the result); adopting a
     # win here is the CTGAN_CONV_DIM_ORDER=NCHW env knob instead.
     "nchw_hint": "MODEL:NCHW",
+    # Stacked arms: the round-4 sweep adopted layout_hints_off (-8.0%,
+    # bit-exact) and measured five further loss-matching -1.3..-2.1%
+    # improvers BEFORE the winner was adopted; whether any of them still
+    # pays ON TOP of the adopted flag is a separate measurement (flags are
+    # independent compiler passes; gains often overlap).  Each stacked arm
+    # = the committed winner + one candidate; "h_all5" merges all five.
+    "h_negotiation": {"xla_tpu_enable_layout_hints": "false",
+                      "xla_tpu_allow_layout_negotiation": "true"},
+    "h_autotune": {"xla_tpu_enable_layout_hints": "false",
+                   "xla_tpu_autotune_layouts": "true"},
+    "h_copy_permute": {"xla_tpu_enable_layout_hints": "false",
+                       "xla_tpu_enable_copy_permute_minor_fusion": "true"},
+    "h_copy_fusion": {"xla_tpu_enable_layout_hints": "false",
+                      "xla_tpu_enable_copy_fusion": "true"},
+    "h_untiled": {"xla_tpu_enable_layout_hints": "false",
+                  "xla_tpu_enable_untiled_layout": "true"},
+    "h_all5": {"xla_tpu_enable_layout_hints": "false",
+               "xla_tpu_allow_layout_negotiation": "true",
+               "xla_tpu_autotune_layouts": "true",
+               "xla_tpu_enable_copy_permute_minor_fusion": "true",
+               "xla_tpu_enable_copy_fusion": "true",
+               "xla_tpu_enable_untiled_layout": "true"},
 }
 
 
