@@ -3,10 +3,20 @@
 Feature-matching GAN classifier with the consistency term between two
 noise-perturbed passes, EMA parameter averaging for test, data-dependent
 weight-norm init.  ``--count`` labels per class (default 10 -> 100 labels).
+
+``--epoch_scan true`` runs the whole epoch as ONE device program (dataset
+HBM-resident, permutation indices in, metrics out) plus a single-dispatch
+test sweep — the same execution mode the CIFAR SSL app uses (measured ~7x
+on the tunneled chip, where the chunked path pays ~100 test-batch round
+trips per epoch).  Both modes draw each epoch's shuffles from a
+(seed, epoch)-keyed RNG, so epoch-level crash/resume (``ssl_state.npz``)
+replays the exact data order — superseding train_loop_2.py:123-139's
+generator fast-forward.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -17,7 +27,7 @@ from ..core import init_context, rng_context, split_params
 from ..data import mnist
 from ..models import classifiers
 from ..train import SslConfig, data_dependent_init, make_ssl_trainer
-from ..utils import MetricLogger, save_checkpoint
+from ..utils import MetricLogger, load_checkpoint, save_checkpoint
 from .common import parse_config, setup_out_dir
 
 
@@ -32,6 +42,7 @@ class Config:
     learning_rate: float = 0.003
     LAMBDA_2: float = 0.1       # CT_MNIST.py:15
     factor_M: float = 0.0
+    epoch_scan: bool = False    # ONE dispatch per epoch (see module doc)
     out_dir: str = "runs/ct_mnist_ssl"
 
 
@@ -51,7 +62,6 @@ def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
     out_dir = setup_out_dir(cfg)
     data_rng = np.random.default_rng(cfg.seed_data)
-    rng = np.random.default_rng(cfg.seed)
 
     d = mnist.load_arrays()
     trainx = np.concatenate([d["train"][0], d["dev"][0]])  # train+valid (:118)
@@ -87,53 +97,120 @@ def main(argv=None, cfg: Config | None = None):
     CHUNK = 50
     from ctgan_tpu.core import tuned_compiler_options
 
+    _opts = tuned_compiler_options()
     jit_multi = jax.jit(multi_step_fn, donate_argnums=0,
-                        compiler_options=tuned_compiler_options())
+                        compiler_options=_opts)
     jit_test = jax.jit(test_fn)
+
+    def epoch_scan_fn(state, data, lab_idx_s, u1_s, u2_s, key):
+        """The whole epoch as one program: device-resident dataset, gathers
+        by permutation index inside the scan body."""
+        txs_d, tys_d, trainx_d = data
+
+        def body(st, inp):
+            li, u1, u2 = inp
+            st, out = step_fn(
+                st, txs_d[li], tys_d[li], trainx_d[u1], trainx_d[u2], None, key
+            )
+            return st, out
+
+        state, (mstack, _, _) = jax.lax.scan(body, state, (lab_idx_s, u1_s, u2_s))
+        return state, {k: jnp.mean(v) for k, v in mstack.items()}
+
+    def test_sweep_fn(state, xs, ys):
+        """All test batches in one scanned program -> mean error."""
+
+        def body(carry, inp):
+            x, y = inp
+            return carry + test_fn(state, x, y), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros(()), (xs, ys))
+        return total / xs.shape[0]
+
+    jit_epoch = jax.jit(epoch_scan_fn, donate_argnums=0, compiler_options=_opts)
+    jit_test_sweep = jax.jit(test_sweep_fn)
 
     logger = MetricLogger(out_dir)
     bs = cfg.batch_size
-    nr_batches = len(trainx) // bs
+    n = len(trainx)
+    nr_batches = n // bs
     key = jax.random.PRNGKey(cfg.seed)
+
+    if cfg.epoch_scan:
+        dev_data = (jnp.asarray(txs), jnp.asarray(tys), jnp.asarray(trainx))
+        nb_test = len(testx) // bs
+        test_xs = jnp.asarray(testx[: nb_test * bs].reshape(nb_test, bs, *testx.shape[1:]))
+        test_ys = jnp.asarray(testy[: nb_test * bs].reshape(nb_test, bs))
+
+    # epoch-level crash/resume (mirrors ct_cifar_ssl): (seed, epoch)-derived
+    # permutations make the resumed order exact in either execution mode
+    from ..train.trainer_semisup import SslState
+
+    ckpt_path = f"{out_dir}/ssl_state.npz"
+    start_epoch = 0
+    if os.path.exists(ckpt_path):
+        saved = load_checkpoint(ckpt_path)
+        state = SslState(**{
+            k: (jax.tree.map(jnp.asarray, saved["state"][k])
+                if k != "step" else jnp.asarray(saved["state"][k]))
+            for k in SslState._fields
+        })
+        start_epoch = int(saved["epoch"]) + 1
+        print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
     def stack(arr, idx, t0, t1):
         sel = idx[t0 * bs : t1 * bs]
         return jnp.asarray(arr[sel].reshape(t1 - t0, bs, *arr.shape[1:]))
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         # tiled shuffled labeled stream (:145-152) + two unlabeled streams
-        reps = len(trainx) // len(txs)
-        lab_idx = np.concatenate([rng.permutation(len(txs)) for _ in range(reps)])
-        unl1 = rng.permutation(len(trainx))
-        unl2 = rng.permutation(len(trainx))
+        erng = np.random.default_rng((cfg.seed, epoch))
+        reps = int(np.ceil(n / len(txs)))
+        lab_idx = np.concatenate([erng.permutation(len(txs)) for _ in range(reps)])[:n]
+        unl1 = erng.permutation(n)
+        unl2 = erng.permutation(n)
 
         sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_ct": 0.0}
-        n_chunks = 0
-        for t0 in range(0, nr_batches, CHUNK):
-            t1 = min(t0 + CHUNK, nr_batches)
-            if t1 - t0 != CHUNK and t0 > 0:
-                break  # drop ragged tail chunk (avoids a second compile)
-            state, (metrics, _, _) = jit_multi(
-                state,
-                stack(txs, lab_idx, t0, t1), stack(tys, lab_idx, t0, t1),
-                stack(trainx, unl1, t0, t1), stack(trainx, unl2, t0, t1),
-                None, key,
+        if cfg.epoch_scan:
+            m = nr_batches * bs
+            idx_s = lambda a: jnp.asarray(a[:m].reshape(nr_batches, bs).astype("int32"))
+            state, metrics = jit_epoch(
+                state, dev_data, idx_s(lab_idx), idx_s(unl1), idx_s(unl2), key
             )
-            n_chunks += 1
             for k in sums:
                 sums[k] += float(metrics[k])
-        nr_batches_eff = n_chunks
-        test_err = float(np.mean([
-            float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
-            for i in range(0, len(testx) - bs + 1, bs)
-        ]))
+            nr_batches_eff = 1
+        else:
+            n_chunks = 0
+            for t0 in range(0, nr_batches, CHUNK):
+                t1 = min(t0 + CHUNK, nr_batches)
+                if t1 - t0 != CHUNK and t0 > 0:
+                    break  # drop ragged tail chunk (avoids a second compile)
+                state, (metrics, _, _) = jit_multi(
+                    state,
+                    stack(txs, lab_idx, t0, t1), stack(tys, lab_idx, t0, t1),
+                    stack(trainx, unl1, t0, t1), stack(trainx, unl2, t0, t1),
+                    None, key,
+                )
+                n_chunks += 1
+                for k in sums:
+                    sums[k] += float(metrics[k])
+            nr_batches_eff = max(n_chunks, 1)
+        if cfg.epoch_scan:
+            test_err = float(jit_test_sweep(state, test_xs, test_ys))
+        else:
+            test_err = float(np.mean([
+                float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
+                for i in range(0, len(testx) - bs + 1, bs)
+            ]))
         for k, v in sums.items():
-            logger.plot(k, v / max(nr_batches_eff, 1))
+            logger.plot(k, v / nr_batches_eff)
         logger.plot("test_err", test_err)
         logger.tick()
         logger.flush()
         save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
         save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+        save_checkpoint(ckpt_path, {"state": state._asdict(), "epoch": epoch})
     return state
 
 

@@ -244,3 +244,53 @@ def test_cifar_ssl_resume(tmp_path, monkeypatch):
     b = load_checkpoint(str(tmp_path / "resumed" / "disc_params.npz"))
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def _small_mnist(monkeypatch):
+    import ctgan_tpu.data.mnist as mnist_mod
+
+    def small(path=None, n_examples=None):
+        from ctgan_tpu.data.synthetic import synthetic_mnist
+
+        tr, dev, te = synthetic_mnist(500, 100, 200)
+        return {"train": tr, "dev": dev, "test": te}
+
+    monkeypatch.setattr(mnist_mod, "load_arrays", small)
+
+
+def test_mnist_ssl_epoch_scan_matches_chunked(tmp_path, monkeypatch):
+    """MNIST SSL epoch_scan must reproduce the chunked trajectory (same
+    (seed, epoch) permutations, same per-step key derivation); tolerance
+    covers cross-program float reassociation, as in the CIFAR test."""
+    import numpy as np
+
+    from ctgan_tpu.apps.ct_mnist_ssl import Config, main
+    from ctgan_tpu.utils import load_checkpoint
+
+    _small_mnist(monkeypatch)
+    base = dict(epochs=2, batch_size=100, count=10)
+    main(cfg=Config(**base, out_dir=str(tmp_path / "chunked")))
+    main(cfg=Config(**base, epoch_scan=True, out_dir=str(tmp_path / "scan")))
+    a = load_checkpoint(str(tmp_path / "chunked" / "disc_params.npz"))
+    b = load_checkpoint(str(tmp_path / "scan" / "disc_params.npz"))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-3, atol=2e-4,
+                                   err_msg=k)
+
+
+def test_mnist_ssl_resume(tmp_path, monkeypatch):
+    """MNIST SSL epoch-level crash/resume is exact (1+1 epochs == 2)."""
+    import numpy as np
+
+    from ctgan_tpu.apps.ct_mnist_ssl import Config, main
+    from ctgan_tpu.utils import load_checkpoint
+
+    _small_mnist(monkeypatch)
+    base = dict(batch_size=100, count=10, epoch_scan=True)
+    main(cfg=Config(**base, epochs=2, out_dir=str(tmp_path / "full")))
+    main(cfg=Config(**base, epochs=1, out_dir=str(tmp_path / "resumed")))
+    main(cfg=Config(**base, epochs=2, out_dir=str(tmp_path / "resumed")))
+    a = load_checkpoint(str(tmp_path / "full" / "disc_params.npz"))
+    b = load_checkpoint(str(tmp_path / "resumed" / "disc_params.npz"))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
