@@ -46,10 +46,11 @@ def conv_dim_order(order: str) -> None:
 
     Semantics are unchanged — inputs/filters are transposed in, outputs
     transposed back, so every caller still sees NHWC/HWIO.  What changes is
-    the operand order the XLA layout-assignment pass negotiates over: the
-    flagship's HBM breakdown shows 16.7% of traffic is layout-change copies
-    between convs whose chosen layouts disagree (VALIDATION.md "HBM-byte
-    cut"), and the logical dim order is one of the inputs to that choice.
+    the operand order the XLA layout-assignment pass negotiates over —
+    one of the inputs to the compiler's layout/fusion choices (the original
+    "16.7% layout copies" motivation was corrected to ~0.35 GB/iter,
+    VALIDATION.md "Copy attribution corrected"; the arm stays as a
+    measured-step-time lever).
     The wrapping transposes are bitcasts whenever layout assignment absorbs
     them; when it cannot, they materialize as copies — i.e. this is a
     measured A/B lever (tools/layout_ab.py arm ``nchw_hint``), not a

@@ -8,11 +8,22 @@ reference's global-flag ``Normalize`` dispatchers.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
 
-from ..ops import conv2d, deconv2d, depth_to_space, mean_pool, relu, upsample_conv2d, upsample_nearest
+from ..ops import (
+    conv2d,
+    conv_mean_pool2d,
+    deconv2d,
+    depth_to_space,
+    mean_pool,
+    mean_pool_conv2d,
+    relu,
+    upsample_conv2d,
+    upsample_nearest,
+)
 
 __all__ = [
     "conv_mean_pool",
@@ -32,12 +43,34 @@ def _identity_norm(name, x, labels=None):
     return x
 
 
+# The fused path rewrites conv+mean_pool (either order) as ONE stride-2 conv
+# with a transformed kernel (ops/conv.py::conv_mean_pool2d / mean_pool_conv2d)
+# — identical params, identical math up to float reassociation.  Unlike the
+# upsample case below, XLA does NOT absorb the pool: the flagship HLO shows
+# the pre-pool activation materialized, reduced, and re-broadcast in the VJP
+# (the two largest non-conv HBM categories), and the fused form is also
+# ~2.25x fewer MACs for K=3.  Default OFF until the chip A/B
+# (tools/bench_all.py arm ``resnet_mpf``) validates it; env override
+# ``CTGAN_FUSE_MEANPOOL=1`` so any tool/app can be A/B'd without plumbing.
+FUSE_MEANPOOL_CONV = os.environ.get("CTGAN_FUSE_MEANPOOL", "") == "1"
+
+
 def conv_mean_pool(name, input_dim, output_dim, filter_size, inputs, *, he_init=True, biases=True):
+    if FUSE_MEANPOOL_CONV:
+        return conv_mean_pool2d(
+            name, input_dim, output_dim, filter_size, inputs,
+            he_init=he_init, biases=biases,
+        )
     out = conv2d(name, input_dim, output_dim, filter_size, inputs, he_init=he_init, biases=biases)
     return mean_pool(out)
 
 
 def mean_pool_conv(name, input_dim, output_dim, filter_size, inputs, *, he_init=True, biases=True):
+    if FUSE_MEANPOOL_CONV:
+        return mean_pool_conv2d(
+            name, input_dim, output_dim, filter_size, inputs,
+            he_init=he_init, biases=biases,
+        )
     out = mean_pool(inputs)
     return conv2d(name, input_dim, output_dim, filter_size, out, he_init=he_init, biases=biases)
 

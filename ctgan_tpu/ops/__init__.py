@@ -14,7 +14,15 @@ from .activations import (
     relu,
     softplus,
 )
-from .conv import conv1d, conv2d, deconv2d, separable_conv2d, upsample_conv2d
+from .conv import (
+    conv1d,
+    conv2d,
+    conv_mean_pool2d,
+    deconv2d,
+    mean_pool_conv2d,
+    separable_conv2d,
+    upsample_conv2d,
+)
 from .dropout import dropout
 from .embedding import embedding
 from .linear import linear
@@ -38,6 +46,7 @@ __all__ = [
     "centered_softplus", "gated_nonlinearity", "leaky_relu", "log_sum_exp",
     "lrelu", "relu", "softplus",
     "conv1d", "conv2d", "deconv2d", "separable_conv2d", "upsample_conv2d",
+    "conv_mean_pool2d", "mean_pool_conv2d",
     "dropout", "embedding", "linear", "minibatch_discrimination", "mlp",
     "gaussian_noise", "batchnorm", "cond_batchnorm", "cond_layernorm",
     "layernorm", "depth_to_space", "global_mean_pool", "mean_pool",

@@ -21,7 +21,10 @@ from ..core import store
 from ..core.matmul import conv as _mxu_conv, conv_transpose as _mxu_conv_transpose
 from .init import conv_filter_stdev, uniform_stdev
 
-__all__ = ["conv2d", "deconv2d", "conv1d", "separable_conv2d", "upsample_conv2d"]
+__all__ = [
+    "conv2d", "deconv2d", "conv1d", "separable_conv2d", "upsample_conv2d",
+    "conv_mean_pool2d", "mean_pool_conv2d",
+]
 
 
 def _upsample_collapse_map(filter_size: int) -> tuple[np.ndarray, int]:
@@ -110,6 +113,135 @@ def upsample_conv2d(
     n, h, w, _ = small.shape
     out = small.reshape(n, h, w, 2, 2, output_dim)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, output_dim)
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _require_even_hw(fn_name: str, inputs: jax.Array) -> None:
+    h, w = inputs.shape[1], inputs.shape[2]
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"{fn_name} requires even spatial dims (got {h}x{w}): the fused "
+            "stride-2 rewrite assumes non-overlapping 2x2 pool windows"
+        )
+
+
+def conv_mean_pool2d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    he_init: bool = True,
+    biases: bool = True,
+    gain: float = 1.0,
+) -> jax.Array:
+    """``mean_pool(conv2d(name, ...))`` WITHOUT the full-resolution conv
+    output ever touching HBM.
+
+    conv (SAME, odd K) followed by 2x2/stride-2 mean-pool is algebraically a
+    single stride-2 conv whose (K+1)x(K+1) kernel is the original kernel
+    convolved with the 2x2 box / 4, padded (K-1)//2 per side — exact
+    including zero-padding boundaries for even H, W (p = a + u, the pool
+    offset plus the tap).  XLA cannot perform this rewrite (it changes the
+    conv's algorithm, not its schedule): the unfused pair materializes the
+    4x-larger pre-pool activation and a reduce per down-block, and the
+    reduce's VJP re-materializes it as a broadcast — on the flagship step
+    those broadcasts + reduces are the two largest non-conv HBM categories
+    (tools/hlo_breakdown.py).  The fused form also does ~2.25x fewer MXU
+    MACs for K=3 ((K+1)^2/4 vs K^2 taps per pooled output).
+
+    Parameters (name, shape, init) are identical to the plain
+    ``conv2d`` + ``mean_pool`` path, so checkpoints are interchangeable.
+    Reference: ConvMeanPool, CT_gan_cifar_resnet.py:89-96.
+    """
+    if filter_size % 2 != 1:
+        raise ValueError(
+            f"conv_mean_pool2d requires an odd filter_size (got {filter_size})"
+        )
+    _require_even_hw("conv_mean_pool2d", inputs)
+    ctx = store.current_context()
+    stdev = conv_filter_stdev(input_dim, output_dim, filter_size, 1, he_init)
+
+    def make_filters():
+        f = uniform_stdev(
+            ctx.rng, stdev, (filter_size, filter_size, input_dim, output_dim)
+        )
+        return f * gain
+
+    filters = store.param(name + ".Filters", make_filters)
+    # Kf[p, q] = 1/4 * sum_{a,b in {0,1}} K[p-a, q-b]: the four zero-padded
+    # shifts of K summed — K convolved with the 2x2 box, size (K+1, K+1).
+    kf = 0.25 * sum(
+        jnp.pad(filters, ((a, 1 - a), (b, 1 - b), (0, 0), (0, 0)))
+        for a in (0, 1)
+        for b in (0, 1)
+    )
+    k = (filter_size - 1) // 2
+    out = _mxu_conv(
+        inputs,
+        kf,
+        window_strides=(2, 2),
+        padding=[(k, k), (k, k)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if biases:
+        b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def mean_pool_conv2d(
+    name: str,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int,
+    inputs: jax.Array,
+    *,
+    he_init: bool = True,
+    biases: bool = True,
+    gain: float = 1.0,
+) -> jax.Array:
+    """``conv2d(name, ..., mean_pool(inputs))`` WITHOUT materializing the
+    pooled intermediate.
+
+    2x2/stride-2 mean-pool followed by a SAME conv (odd K) is a single
+    stride-2 conv whose 2Kx2K kernel duplicates each original tap over its
+    2x2 pool window / 4 (Kf[2u+a, 2v+b] = K[u,v]/4), padded K-1 per side —
+    exact including boundaries for even H, W (the half-grid zero padding
+    covers whole pool windows).  Used for the 1x1 shortcut convs
+    (K=1: a 2x2/stride-2 kernel, zero pad), where it removes the pooled
+    activation's HBM round-trip at unchanged MAC count.  Params are
+    identical to the plain path.  Reference: MeanPoolConv,
+    CT_gan_cifar_resnet.py:97-101.
+    """
+    if filter_size % 2 != 1:
+        raise ValueError(
+            f"mean_pool_conv2d requires an odd filter_size (got {filter_size})"
+        )
+    _require_even_hw("mean_pool_conv2d", inputs)
+    ctx = store.current_context()
+    stdev = conv_filter_stdev(input_dim, output_dim, filter_size, 1, he_init)
+
+    def make_filters():
+        f = uniform_stdev(
+            ctx.rng, stdev, (filter_size, filter_size, input_dim, output_dim)
+        )
+        return f * gain
+
+    filters = store.param(name + ".Filters", make_filters)
+    kf = 0.25 * jnp.repeat(jnp.repeat(filters, 2, axis=0), 2, axis=1)
+    k2 = filter_size - 1  # = 2 * (K-1)//2 for odd K
+    out = _mxu_conv(
+        inputs,
+        kf,
+        window_strides=(2, 2),
+        padding=[(k2, k2), (k2, k2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
     if biases:
         b = store.param(name + ".Biases", lambda: np.zeros(output_dim, dtype="float32"))
         out = out + b.astype(out.dtype)

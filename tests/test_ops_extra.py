@@ -237,3 +237,120 @@ def test_upsample_conv2d_rejects_even_filter():
         with rng_context(jax.random.PRNGKey(0)):
             with pytest.raises(ValueError, match="odd filter_size"):
                 upsample_conv2d("U", 2, 2, 4, x)
+
+
+class TestMeanPoolConvFusionEquivalence:
+    """ops.conv_mean_pool2d / mean_pool_conv2d must be EXACTLY the unfused
+    conv2d + mean_pool pair (stride-2 kernel-transform rewrite) — same
+    params, same values, same gradients."""
+
+    def _pair(self, order, k, h, w, cin, cout, bias, gain, seed):
+        import jax
+        import jax.numpy as jnp
+        from ctgan_tpu.core import apply_context, init_context, rng_context
+        from ctgan_tpu.ops import conv2d, conv_mean_pool2d, mean_pool_conv2d
+        from ctgan_tpu.ops.pool import mean_pool
+
+        x = jnp.asarray(
+            np.random.default_rng(seed).normal(size=(2, h, w, cin)).astype("f4")
+        )
+        fused_op = conv_mean_pool2d if order == "conv_first" else mean_pool_conv2d
+        with init_context(seed=seed) as ctx:
+            with rng_context(jax.random.PRNGKey(0)):
+                fused_op("M", cin, cout, k, x, biases=bias, gain=gain)
+        params = dict(ctx.params)
+
+        def fused(p, x):
+            with apply_context(p):
+                return fused_op("M", cin, cout, k, x, biases=bias, gain=gain)
+
+        def naive(p, x):
+            with apply_context(p):
+                if order == "conv_first":
+                    return mean_pool(
+                        conv2d("M", cin, cout, k, x, biases=bias, gain=gain)
+                    )
+                return conv2d("M", cin, cout, k, mean_pool(x), biases=bias, gain=gain)
+
+        return params, x, fused, naive
+
+    @pytest.mark.parametrize("order", ["conv_first", "pool_first"])
+    @pytest.mark.parametrize("k", [1, 3, 5])
+    @pytest.mark.parametrize("hw", [(4, 4), (6, 10)])
+    def test_values_match(self, order, k, hw):
+        params, x, fused, naive = self._pair(order, k, *hw, 3, 6, True, 1.0, seed=k)
+        a = np.asarray(fused(params, x))
+        b = np.asarray(naive(params, x))
+        assert a.shape == b.shape == (2, hw[0] // 2, hw[1] // 2, 6)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("order", ["conv_first", "pool_first"])
+    def test_gain_and_no_bias(self, order):
+        params, x, fused, naive = self._pair(order, 3, 6, 6, 4, 4, False, 0.5, seed=9)
+        np.testing.assert_allclose(
+            np.asarray(fused(params, x)), np.asarray(naive(params, x)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    @pytest.mark.parametrize("order", ["conv_first", "pool_first"])
+    def test_gradients_match(self, order):
+        import jax
+
+        params, x, fused, naive = self._pair(order, 3, 4, 4, 3, 5, True, 1.0, seed=3)
+
+        def loss(fn):
+            def f(p, x):
+                return (fn(p, x) ** 2).sum()
+            return jax.grad(f, argnums=(0, 1))(params, x)
+
+        ga, gxa = loss(fused)
+        gb, gxb = loss(naive)
+        np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), rtol=1e-4, atol=1e-4)
+        for name in ga:
+            np.testing.assert_allclose(
+                np.asarray(ga[name]), np.asarray(gb[name]), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_blocks_use_fused_path_same_params(self):
+        """blocks.conv_mean_pool / mean_pool_conv with fuse on/off build
+        identical param trees and matching outputs."""
+        import jax
+        import jax.numpy as jnp
+        from ctgan_tpu.core import init_context, rng_context
+        from ctgan_tpu.models import blocks
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype("f4")
+        )
+        outs, ptrees = [], []
+        for fuse in (True, False):
+            old = blocks.FUSE_MEANPOOL_CONV
+            blocks.FUSE_MEANPOOL_CONV = fuse
+            try:
+                with init_context(seed=5) as ctx:
+                    with rng_context(jax.random.PRNGKey(0)):
+                        out = blocks.optimized_res_block_disc1(x, 16, name="D.1")
+                outs.append(np.asarray(out))
+                ptrees.append({k: np.asarray(v) for k, v in ctx.params.items()})
+            finally:
+                blocks.FUSE_MEANPOOL_CONV = old
+        assert sorted(ptrees[0]) == sorted(ptrees[1])
+        for k in ptrees[0]:
+            np.testing.assert_array_equal(ptrees[0][k], ptrees[1][k])
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("order", ["conv_first", "pool_first"])
+    def test_rejects_even_filter_and_odd_hw(self, order):
+        import jax
+        import pytest
+        from ctgan_tpu.core import init_context, rng_context
+        from ctgan_tpu.ops import conv_mean_pool2d, mean_pool_conv2d
+
+        op = conv_mean_pool2d if order == "conv_first" else mean_pool_conv2d
+        with init_context(seed=0):
+            with rng_context(jax.random.PRNGKey(0)):
+                with pytest.raises(ValueError, match="odd filter_size"):
+                    op("M", 2, 2, 4, jnp.ones((1, 4, 4, 2)))
+                with pytest.raises(ValueError, match="even spatial"):
+                    op("M", 2, 2, 3, jnp.ones((1, 5, 4, 2)))

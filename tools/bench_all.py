@@ -130,6 +130,38 @@ def main():
             w = build_workload("resnet", tiny=t, **ov)
             _measure(w.name + label, w.init_state, w.step_fn, w.make_batch,
                      w.batch_size, w.critic_iters, args.iters)
+    if "resnet_mpf" in wl:
+        # fused conv+mean_pool stride-2 rewrite (blocks.FUSE_MEANPOOL_CONV):
+        # one transformed-kernel conv instead of conv -> materialized
+        # full-res activation -> reduce (and its VJP broadcast); also probe
+        # it combined with the upsample parity-collapse, whose earlier solo
+        # A/B lost — the tradeoff may shift once the pool bytes are gone.
+        from ctgan_tpu.models import blocks
+
+        for label, (mpf, fuc) in (
+            ("_mpf", (True, False)),
+            ("_mpf_fuc", (True, True)),
+        ):
+            old = (blocks.FUSE_MEANPOOL_CONV, blocks.FUSE_UPSAMPLE_CONV)
+            blocks.FUSE_MEANPOOL_CONV, blocks.FUSE_UPSAMPLE_CONV = mpf, fuc
+            try:
+                w = build_workload("resnet", tiny=t)
+                _measure(w.name + label, w.init_state, w.step_fn,
+                         w.make_batch, w.batch_size, w.critic_iters,
+                         args.iters)
+            finally:
+                blocks.FUSE_MEANPOOL_CONV, blocks.FUSE_UPSAMPLE_CONV = old
+    if "good64_mpf" in wl:
+        from ctgan_tpu.models import blocks
+
+        old = blocks.FUSE_MEANPOOL_CONV
+        blocks.FUSE_MEANPOOL_CONV = True
+        try:
+            w = build_workload("good64", tiny=t)
+            _measure(w.name + "_mpf", w.init_state, w.step_fn, w.make_batch,
+                     w.batch_size, w.critic_iters, args.iters)
+        finally:
+            blocks.FUSE_MEANPOOL_CONV = old
     if "good64" in wl:
         # remat A/B like lsun128: good64's step is HBM-bound with 178 GB/iter
         # accessed (cost_analysis r3) — measure whether trading recompute

@@ -59,6 +59,14 @@ def categorize(kind: str, line: str) -> str:
     return kind
 
 
+_SHAPE_LAYOUT_RE = re.compile(r"(\w+\[[\d,]*\])\{([^}]*)\}")
+
+
+def _layout_perm(layout: str) -> str:
+    """Dim-order part of an HLO layout, without tile/memory-space suffix."""
+    return layout.split(":")[0]
+
+
 # shape group is non-greedy up to the opcode: TPU HLO appends layout/tile
 # annotations like ``{3,2,1,0:T(8,128)(2,1)}`` that a character class can't
 # enumerate (the round-3 chip run parsed 0 bytes because of exactly that)
@@ -76,12 +84,31 @@ def breakdown(hlo_text: str):
     carries the HBM operand/output bytes).  ENTRY, while bodies, and scalar
     reducer regions ARE counted.
 
-    Two passes: first map every instruction name to its output bytes
-    (optimized HLO prints operands as bare ``%name`` without shapes), then
-    charge each counted instruction its output plus resolved operand bytes.
-    Also buckets by the leading jax op_name path segment from metadata for
-    model-level attribution."""
+    Two passes: first map every instruction name to its output bytes and
+    layout (optimized HLO prints operands as bare ``%name`` without shapes),
+    then charge each counted instruction its output plus resolved operand
+    bytes.  Also buckets by the leading jax op_name path segment from
+    metadata for model-level attribution.
+
+    Async memory-movement pairs get special accounting (the naive
+    operands+outputs rule charged a copy-start's (dest, src, ctx) tuple AND
+    its copy-done AND the resolved operand — ~3x the buffer, which is how
+    the round-3 analysis misread memory-space prefetches as an 16.7%
+    "layout copy" tax):
+
+    * ``copy-start`` is charged 2x the destination buffer (one read + one
+      write) and categorized ``copy:memspace`` when source/destination dim
+      orders match (an HBM<->VMEM prefetch/spill from memory-space
+      assignment — largely traffic it REPLACES elsewhere, not adds) vs
+      ``copy:layout-change`` when they differ.  ``copy-done`` is the wait
+      handle: charged 0.
+    * ``async-start`` (e.g. ``slice-start`` DMA) is charged 2x its result
+      member — a DMA slice only touches the sliced region, not the whole
+      operand.  ``async-done`` is charged 0.
+    * plain ``copy`` is split the same way via the producer's layout.
+    """
     sizes: dict[str, int] = {}
+    perms: dict[str, str] = {}
     counted: list[tuple[str, str, str]] = []  # (kind, line, args)
     in_skipped_block = False
     for line in hlo_text.splitlines():
@@ -100,8 +127,12 @@ def breakdown(hlo_text: str):
             continue
         name, out_shape, kind = m.group(1).lstrip("%"), m.group(2), m.group(3)
         sizes[name] = shape_bytes(out_shape)
+        sl = _SHAPE_LAYOUT_RE.findall(out_shape)
+        if sl:
+            perms[name] = _layout_perm(sl[0][1])
         if in_skipped_block or kind in (
-            "parameter", "constant", "tuple", "get-tuple-element", "bitcast"
+            "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+            "copy-done", "async-done",
         ):
             continue
         counted.append((kind, s, m.group(4)))
@@ -121,6 +152,25 @@ def breakdown(hlo_text: str):
         )
         b = out_b + in_b
         cat = categorize(kind, s)
+        members = _SHAPE_LAYOUT_RE.findall(m.group(2))
+        if kind == "copy-start" and len(members) >= 2:
+            dest, src = members[0], members[1]
+            b = 2 * shape_bytes(dest[0])
+            cat = ("copy:memspace"
+                   if _layout_perm(dest[1]) == _layout_perm(src[1])
+                   else "copy:layout-change")
+        elif kind == "async-start" and len(members) >= 2:
+            result = members[-2] if members[-1][0].endswith("[]") else members[-1]
+            b = 2 * shape_bytes(result[0])
+            inner = m.group(1).lstrip("%").rsplit("-start", 1)[0].rsplit(".", 1)[0]
+            cat = f"async:{inner}"
+        elif kind == "copy":
+            op = re.search(r"copy\(%?([\w.\-]+)", s)
+            src_perm = perms.get(op.group(1)) if op else None
+            dst_perm = _layout_perm(members[0][1]) if members else None
+            if src_perm and dst_perm:
+                cat = ("copy:memspace" if src_perm == dst_perm
+                       else "copy:layout-change")
         by_cat[cat] += b
         n_by_cat[cat] += 1
         om = re.search(r'op_name="([^"]+)"', s)

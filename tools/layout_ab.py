@@ -1,14 +1,16 @@
-"""Flagship layout-copy A/B: XLA-TPU layout flags vs the 4.6 GB/iter of
-layout-change copies.
+"""Flagship layout/copy-flag A/B: measured step-time sweep of XLA-TPU
+layout flags.
 
-The round-3 HLO byte attribution (`tools/hlo_breakdown.py`,
-VALIDATION.md "Flagship HBM-byte cut") showed 16.7% of the flagship
-step's HBM traffic is layout-change copies XLA inserts between
-convolutions whose chosen layouts disagree (201 MB bf16[256,32,32,128]
-copies).  Removing them would drop the HBM floor from ~22.2 ms to
-~19.7 ms.  The candidate lever is the compiler's own layout machinery:
-libtpu ships several layout/copy flags (enumerated from the installed
-libtpu.so) that `jax.jit(compiler_options=...)` can flip per-program.
+Historical note: this sweep was motivated by a round-3 HLO attribution
+claiming 16.7% of flagship traffic was layout-change copies; that figure
+was a parser artifact (the copy-start/done pairs are same-layout
+HBM<->VMEM prefetches — VALIDATION.md "Copy attribution corrected";
+genuine layout-change copies are ~0.35 GB/iter).  The sweep remains
+justified by its *measured* results — `layout_hints_off` is a real,
+bit-exact −8.0% (adopted) — the flags influence fusion/scheduling
+choices beyond just copies.  libtpu ships several layout/copy flags
+(enumerated from the installed libtpu.so) that
+`jax.jit(compiler_options=...)` can flip per-program.
 
 This tool compiles the SAME flagship scan program (identical to
 bench_all's methodology: K iterations inside one jitted lax.scan,
