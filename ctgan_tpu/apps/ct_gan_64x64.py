@@ -35,6 +35,9 @@ class Config:
                                  # is HBM-byte-bound: 178 GB/iter modeled —
                                  # fp32 activations double that traffic)
     PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
+    FUSE_MEANPOOL: bool = False  # fold conv+mean_pool into ONE stride-2
+                                 # conv (exact rewrite; chip A/B pending —
+                                 # see blocks.FUSE_MEANPOOL_CONV)
     DIM: int = 64
     BATCH_SIZE: int = 64
     CRITIC_ITERS: int = 5
@@ -105,6 +108,11 @@ def main(argv=None, cfg: Config | None = None):
         from ctgan_tpu.ops.dropout import enable_pallas_dropout
 
         enable_pallas_dropout(True)
+
+    if cfg.FUSE_MEANPOOL:
+        from ctgan_tpu.models import blocks
+
+        blocks.FUSE_MEANPOOL_CONV = True
 
     gen_fn, disc_fn = pick_arch(cfg)
 

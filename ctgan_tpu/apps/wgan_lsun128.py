@@ -46,6 +46,9 @@ class Config:
                                  # is HBM-byte-bound: 95 GB/iter modeled —
                                  # fp32 activations double that traffic)
     PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
+    FUSE_MEANPOOL: bool = False  # fold conv+mean_pool into ONE stride-2
+                                 # conv (exact rewrite; chip A/B pending —
+                                 # see blocks.FUSE_MEANPOOL_CONV)
     seed: int = 0
     out_dir: str = "runs/wgan_lsun128"
     sample_every: int = 200
@@ -65,6 +68,11 @@ def main(argv=None, cfg: Config | None = None):
         from ctgan_tpu.ops.dropout import enable_pallas_dropout
 
         enable_pallas_dropout(True)
+
+    if cfg.FUSE_MEANPOOL:
+        from ctgan_tpu.models import blocks
+
+        blocks.FUSE_MEANPOOL_CONV = True
 
     mcfg = lsun128.Lsun128Config(dim_g_4=cfg.DIM_G_4, dim_d_8=cfg.DIM_D_8)
 
