@@ -85,7 +85,15 @@ def main():
                          "(reports whether layout-copy bytes fell)")
     args = ap.parse_args()
 
-    lines = (sys.stdin if args.log == "-" else open(args.log)).readlines()
+    if args.log == "-":
+        lines = sys.stdin.readlines()
+    else:
+        # comma-separated list: later files' arms supersede earlier ones
+        # in the label-keyed dedup below
+        lines = []
+        for path in args.log.split(","):
+            with open(path) as f:
+                lines += f.readlines()
     results = parse_results(lines)
     print(f"parsed {len(results)} arms from {args.log}")
     win, why = pick_winner(results, args.min_gain, args.loss_rtol)
