@@ -96,9 +96,45 @@ def test_breakdown_real_tpu_forms():
     assert total > 0
     # reduce: out 256*32*128*4 + operands (256*8*32*128*4 + 1024*4)
     assert by_cat["reduce"] == 256 * 32 * 128 * 4 + 256 * 8 * 32 * 128 * 4 + 1024 * 4
-    # async copy pair: tuple output of copy-start counts all members
-    assert by_cat["copy-start"] == (128 * 4 + 128 * 4 + 4) + 128 * 4
-    assert by_cat["copy-done"] > 0
+    # async copy pair: same dim order, S(1) memory space only -> a VMEM
+    # prefetch charged 2x the buffer at copy-start; -done is the wait
+    # handle (charged 0) — the old operands+outputs rule charged ~3x and
+    # produced the withdrawn "16.7% layout copies" misattribution
+    assert by_cat["copy:memspace"] == 2 * 128 * 4
+    assert "copy-start" not in by_cat
+    assert "copy-done" not in by_cat
     # custom-call parses despite operand_layout_constraints shapes in attrs
     assert n_by_cat["custom-call"] == 1
     assert any("jvp(disc)" in k for k in by_op_name)
+
+
+# The corrected copy taxonomy (round-3 session 4): plain copies split by
+# whether the dim order actually changes; async-start DMA slices charged by
+# their result region, not the whole operand tuple.
+COPY_TAXONOMY = """\
+HloModule jit_copies
+
+ENTRY %main.1 (p0: bf16[8,4,4,16]) -> bf16[8,4,4,16] {
+  %p0 = bf16[8,4,4,16]{3,0,2,1:T(8,128)(2,1)} parameter(0)
+  %copy.1 = bf16[8,4,4,16]{0,3,2,1:T(8,128)(2,1)} copy(%p0)
+  %copy.2 = bf16[8,4,4,16]{0,3,2,1:T(8,128)(2,1)S(1)} copy(%copy.1)
+  %slice-start.3 = ((bf16[8,4,4,16]{0,3,2,1:T(8,128)(2,1)}), bf16[8,1,4,16]{0,3,2,1:T(8,128)(2,1)S(1)}, s32[]{:S(2)}) async-start(%copy.2), calls=%async_computation.3
+  %slice-done.3 = bf16[8,1,4,16]{0,3,2,1:T(8,128)(2,1)S(1)} async-done(%slice-start.3)
+  ROOT %copy.3 = bf16[8,4,4,16]{3,0,2,1:T(8,128)(2,1)} copy(%copy.2)
+}
+"""
+
+
+def test_breakdown_copy_taxonomy():
+    by_cat, n_by_cat, _, _ = breakdown(COPY_TAXONOMY)
+    buf = 8 * 4 * 4 * 16 * 2  # bf16 bytes
+    # copy.1 {3,0,2,1}->{0,3,2,1} and copy.3 back: genuine layout changes
+    # (out + resolved operand each)
+    assert by_cat["copy:layout-change"] == 2 * (2 * buf)
+    assert n_by_cat["copy:layout-change"] == 2
+    # copy.2 changes only the S(1) memory space: not a layout change
+    assert by_cat["copy:memspace"] == 2 * buf
+    # the async DMA slice is charged 2x its RESULT region (1/4 the rows),
+    # not the full operand tuple; -done is free
+    assert by_cat["async:slice"] == 2 * (8 * 1 * 4 * 16 * 2)
+    assert "async-start" not in by_cat and "async-done" not in by_cat
