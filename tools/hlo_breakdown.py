@@ -67,6 +67,24 @@ def _layout_perm(layout: str) -> str:
     return layout.split(":")[0]
 
 
+def _in_hbm(layout: str) -> bool:
+    """True when the buffer lives in HBM (no S(1)=VMEM / S(2)=SMEM tag)."""
+    return "S(" not in layout
+
+
+def hbm_bytes(out_shape: str) -> int:
+    """Bytes of the HBM-resident members of one (possibly tuple) shape —
+    S(1)/S(2)-tagged members live on-core and are not HBM traffic."""
+    total = 0
+    for shape, layout in _SHAPE_LAYOUT_RE.findall(out_shape):
+        if _in_hbm(layout):
+            total += shape_bytes(shape)
+    # CPU dialect: shapes without any {layout} suffix are plain HBM/host
+    if not _SHAPE_LAYOUT_RE.search(out_shape):
+        total = shape_bytes(out_shape)
+    return total
+
+
 # shape group is non-greedy up to the opcode: TPU HLO appends layout/tile
 # annotations like ``{3,2,1,0:T(8,128)(2,1)}`` that a character class can't
 # enumerate (the round-3 chip run parsed 0 bytes because of exactly that)
@@ -96,16 +114,19 @@ def breakdown(hlo_text: str):
     the round-3 analysis misread memory-space prefetches as an 16.7%
     "layout copy" tax):
 
-    * ``copy-start`` is charged 2x the destination buffer (one read + one
-      write) and categorized ``copy:memspace`` when source/destination dim
-      orders match (an HBM<->VMEM prefetch/spill from memory-space
-      assignment — largely traffic it REPLACES elsewhere, not adds) vs
-      ``copy:layout-change`` when they differ.  ``copy-done`` is the wait
-      handle: charged 0.
-    * ``async-start`` (e.g. ``slice-start`` DMA) is charged 2x its result
-      member — a DMA slice only touches the sliced region, not the whole
-      operand.  ``async-done`` is charged 0.
+    * ``copy-start`` is charged only its HBM sides — a VMEM prefetch or
+      spill moves the buffer across HBM once (categorized ``copy:memspace``,
+      traffic it largely REPLACES elsewhere); an HBM->HBM copy twice —
+      and categorized ``copy:layout-change`` when the dim orders differ.
+      ``copy-done`` is the wait handle: charged 0.
+    * ``async-start`` (e.g. ``slice-start`` DMA) is charged its result
+      region per HBM side — a DMA slice only touches the sliced region,
+      not the whole operand.  ``async-done`` is charged 0.
     * plain ``copy`` is split the same way via the producer's layout.
+
+    Accounting is memory-space-aware throughout: outputs tagged
+    ``S(1)``/``S(2)`` live in VMEM/SMEM (not HBM writes), and operands
+    whose producer output is on-core are not HBM reads.
     """
     sizes: dict[str, int] = {}
     perms: dict[str, str] = {}
@@ -126,7 +147,7 @@ def breakdown(hlo_text: str):
         if not m:
             continue
         name, out_shape, kind = m.group(1).lstrip("%"), m.group(2), m.group(3)
-        sizes[name] = shape_bytes(out_shape)
+        sizes[name] = hbm_bytes(out_shape)
         sl = _SHAPE_LAYOUT_RE.findall(out_shape)
         if sl:
             perms[name] = _layout_perm(sl[0][1])
@@ -143,7 +164,7 @@ def breakdown(hlo_text: str):
     heaviest: list[tuple[int, str]] = []
     for kind, s, args in counted:
         m = _LINE_RE.match(s)
-        out_b = shape_bytes(m.group(2))
+        out_b = hbm_bytes(m.group(2))
         # operands: bare %name references before any attribute list
         arg_str = args.split("), ")[0] if "), " in args else args.split(")")[0]
         in_b = sum(
@@ -155,13 +176,16 @@ def breakdown(hlo_text: str):
         members = _SHAPE_LAYOUT_RE.findall(m.group(2))
         if kind == "copy-start" and len(members) >= 2:
             dest, src = members[0], members[1]
-            b = 2 * shape_bytes(dest[0])
+            b = sum(shape_bytes(mm[0]) for mm in (dest, src) if _in_hbm(mm[1]))
             cat = ("copy:memspace"
                    if _layout_perm(dest[1]) == _layout_perm(src[1])
                    else "copy:layout-change")
         elif kind == "async-start" and len(members) >= 2:
             result = members[-2] if members[-1][0].endswith("[]") else members[-1]
-            b = 2 * shape_bytes(result[0])
+            operand = members[0]
+            b = shape_bytes(result[0]) * (
+                int(_in_hbm(operand[1])) + int(_in_hbm(result[1]))
+            )
             inner = m.group(1).lstrip("%").rsplit("-start", 1)[0].rsplit(".", 1)[0]
             cat = f"async:{inner}"
         elif kind == "copy":
