@@ -97,10 +97,11 @@ def test_breakdown_real_tpu_forms():
     # reduce: out 256*32*128*4 + operands (256*8*32*128*4 + 1024*4)
     assert by_cat["reduce"] == 256 * 32 * 128 * 4 + 256 * 8 * 32 * 128 * 4 + 1024 * 4
     # async copy pair: same dim order, S(1) memory space only -> a VMEM
-    # prefetch charged 2x the buffer at copy-start; -done is the wait
-    # handle (charged 0) — the old operands+outputs rule charged ~3x and
-    # produced the withdrawn "16.7% layout copies" misattribution
-    assert by_cat["copy:memspace"] == 2 * 128 * 4
+    # spill/prefetch crosses HBM ONCE (only the HBM-side tuple member is
+    # charged at copy-start; the S(1)/S(2) members are on-core); -done is
+    # the wait handle (charged 0) — the old operands+outputs rule charged
+    # ~3x and produced the withdrawn "16.7% layout copies" misattribution
+    assert by_cat["copy:memspace"] == 128 * 4
     assert "copy-start" not in by_cat
     assert "copy-done" not in by_cat
     # custom-call parses despite operand_layout_constraints shapes in attrs
@@ -128,13 +129,16 @@ ENTRY %main.1 (p0: bf16[8,4,4,16]) -> bf16[8,4,4,16] {
 def test_breakdown_copy_taxonomy():
     by_cat, n_by_cat, _, _ = breakdown(COPY_TAXONOMY)
     buf = 8 * 4 * 4 * 16 * 2  # bf16 bytes
-    # copy.1 {3,0,2,1}->{0,3,2,1} and copy.3 back: genuine layout changes
-    # (out + resolved operand each)
-    assert by_cat["copy:layout-change"] == 2 * (2 * buf)
+    # copy.1 {3,0,2,1}->{0,3,2,1} and copy.3 back: genuine layout changes.
+    # Accounting is memory-space-aware: copy.1 reads+writes HBM (2x buf),
+    # but copy.3's operand (copy.2) lives in VMEM, so only its HBM write
+    # is charged (1x buf)
+    assert by_cat["copy:layout-change"] == 2 * buf + buf
     assert n_by_cat["copy:layout-change"] == 2
-    # copy.2 changes only the S(1) memory space: not a layout change
-    assert by_cat["copy:memspace"] == 2 * buf
-    # the async DMA slice is charged 2x its RESULT region (1/4 the rows),
-    # not the full operand tuple; -done is free
-    assert by_cat["async:slice"] == 2 * (8 * 1 * 4 * 16 * 2)
+    # copy.2 changes only the S(1) memory space: not a layout change, and
+    # only its HBM-side read is charged (the S(1) write is on-core)
+    assert by_cat["copy:memspace"] == buf
+    # the async DMA slice is charged its RESULT region (1/4 the rows) per
+    # HBM side — here one HBM read, an S(1) result write; -done is free
+    assert by_cat["async:slice"] == 8 * 1 * 4 * 16 * 2
     assert "async-start" not in by_cat and "async-done" not in by_cat
