@@ -225,8 +225,17 @@ def main() -> None:
     elapsed = t_k2 - t_k1
     MEASURED = K2 - K1
 
+    from ctgan_tpu.models import blocks
+
     sec_per_iter = elapsed / MEASURED
     images_per_sec = BATCH * CRITIC_ITERS / sec_per_iter
+    # Roofline floors from tools/cost_analysis.py on the real chip:
+    # unfused 0.0243 s (r3); fused (FUSE_MEANPOOL_CONV, the shipped
+    # default) 0.0185 s (r4, runs/queue_r5a.log job cost_analysis_fused).
+    # NB the fused program MEASURES below its byte-model floor (16.8 ms):
+    # the model conservatively charges fusion temporaries XLA keeps
+    # on-chip, so treat the fused floor as an upper bracket, not a wall.
+    hbm_floor = 0.0185 if blocks.FUSE_MEANPOOL_CONV else 0.0243
     result = {
         "metric": METRIC_NAME,
         "value": round(images_per_sec, 2),
@@ -234,7 +243,8 @@ def main() -> None:
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
         "vs_baseline_kind": "estimated_vs_reconstructed_tf12",
         "sec_per_iter": round(sec_per_iter, 4),
-        "hbm_floor_sec_per_iter": 0.0243,  # tools/cost_analysis.py flagship
+        "hbm_floor_sec_per_iter": hbm_floor,
+        "fuse_meanpool": bool(blocks.FUSE_MEANPOOL_CONV),
         "timing": f"scan-window diff ({K2}-{K1} iters), overhead-cancelling",
         "window_secs": [round(t_k1, 2), round(t_k2, 2)],
         "compile_plus_warmup_sec": round(compile_s, 1),

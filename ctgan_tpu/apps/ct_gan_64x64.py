@@ -35,9 +35,11 @@ class Config:
                                  # is HBM-byte-bound: 178 GB/iter modeled —
                                  # fp32 activations double that traffic)
     PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
-    FUSE_MEANPOOL: bool = False  # fold conv+mean_pool into ONE stride-2
-                                 # conv (exact rewrite; chip A/B pending —
-                                 # see blocks.FUSE_MEANPOOL_CONV)
+    FUSE_MEANPOOL: bool = True   # fold conv+mean_pool into ONE stride-2
+                                 # conv (exact rewrite).  Chip A/B: 0.2075
+                                 # -> 0.1562 s/iter, -24.7%
+                                 # (runs/queue_r5a.log mpf_ab); env opt-out
+                                 # CTGAN_FUSE_MEANPOOL=0 wins over this flag
     DIM: int = 64
     BATCH_SIZE: int = 64
     CRITIC_ITERS: int = 5
@@ -109,10 +111,9 @@ def main(argv=None, cfg: Config | None = None):
 
         enable_pallas_dropout(True)
 
-    if cfg.FUSE_MEANPOOL:
-        from ctgan_tpu.models import blocks
+    from ctgan_tpu.models import blocks
 
-        blocks.FUSE_MEANPOOL_CONV = True
+    blocks.set_fuse_meanpool(cfg.FUSE_MEANPOOL)
 
     gen_fn, disc_fn = pick_arch(cfg)
 

@@ -61,11 +61,13 @@ class Config:
                                  # two single-batch passes (identical
                                  # numerics; layout A/B lever — bench_all
                                  # resnet_ab measures both)
-    FUSE_MEANPOOL: bool = False  # fold conv+mean_pool into ONE stride-2
+    FUSE_MEANPOOL: bool = True   # fold conv+mean_pool into ONE stride-2
                                  # conv (identical params/math; removes the
                                  # full-res pre-pool activation + its VJP
-                                 # broadcast from HBM — bench_all resnet_mpf
-                                 # is the chip A/B)
+                                 # broadcast from HBM).  Chip A/B: 24.5 ->
+                                 # 14.8 ms/iter (runs/queue_r4e.log); env
+                                 # opt-out CTGAN_FUSE_MEANPOOL=0 wins over
+                                 # this flag
     MODEL_AXIS: int = 1          # tensor-parallel mesh axis; >1 switches to
                                  # the TP-safe unfused step (see
                                  # docs/XLA_GSPMD_SCAN_BUG.md)
@@ -89,10 +91,9 @@ def main(argv=None, cfg: Config | None = None):
         from ctgan_tpu.ops.dropout import enable_pallas_dropout
 
         enable_pallas_dropout(True)
-    if cfg.FUSE_MEANPOOL:
-        from ctgan_tpu.models import blocks
+    from ctgan_tpu.models import blocks
 
-        blocks.FUSE_MEANPOOL_CONV = True
+    blocks.set_fuse_meanpool(cfg.FUSE_MEANPOOL)
 
     mcfg = resnet_cifar.ResnetCifarConfig(
         dim_g=cfg.DIM_G, dim_d=cfg.DIM_D,

@@ -47,8 +47,10 @@ class Config:
                                  # fp32 activations double that traffic)
     PALLAS_DROPOUT: bool = True  # on-core PRNG dropout kernel on TPU
     FUSE_MEANPOOL: bool = False  # fold conv+mean_pool into ONE stride-2
-                                 # conv (exact rewrite; chip A/B pending —
-                                 # see blocks.FUSE_MEANPOOL_CONV)
+                                 # conv (exact rewrite).  Chip A/B: 0.0971
+                                 # -> 0.0966 s/iter, -0.5% — below the 2%
+                                 # adoption bar, stays OFF here
+                                 # (runs/queue_r5a.log mpf_ab)
     seed: int = 0
     out_dir: str = "runs/wgan_lsun128"
     sample_every: int = 200
@@ -69,10 +71,9 @@ def main(argv=None, cfg: Config | None = None):
 
         enable_pallas_dropout(True)
 
-    if cfg.FUSE_MEANPOOL:
-        from ctgan_tpu.models import blocks
+    from ctgan_tpu.models import blocks
 
-        blocks.FUSE_MEANPOOL_CONV = True
+    blocks.set_fuse_meanpool(cfg.FUSE_MEANPOOL)
 
     mcfg = lsun128.Lsun128Config(dim_g_4=cfg.DIM_G_4, dim_d_8=cfg.DIM_D_8)
 

@@ -49,10 +49,22 @@ def _identity_norm(name, x, labels=None):
 # upsample case below, XLA does NOT absorb the pool: the flagship HLO shows
 # the pre-pool activation materialized, reduced, and re-broadcast in the VJP
 # (the two largest non-conv HBM categories), and the fused form is also
-# ~2.25x fewer MACs for K=3.  Default OFF until the chip A/B
-# (tools/bench_all.py arm ``resnet_mpf``) validates it; env override
-# ``CTGAN_FUSE_MEANPOOL=1`` so any tool/app can be A/B'd without plumbing.
-FUSE_MEANPOOL_CONV = os.environ.get("CTGAN_FUSE_MEANPOOL", "") == "1"
+# ~2.25x fewer MACs for K=3.  Default ON since the chip A/B validated it
+# (flagship 24.5 -> 14.8 ms/iter, runs/queue_r4e.log); env opt-out
+# ``CTGAN_FUSE_MEANPOOL=0`` so any tool/app can A/B the unfused path
+# without plumbing.  When the env var is set (either way) it wins over app
+# configs — see set_fuse_meanpool().
+FUSE_MEANPOOL_CONV = os.environ.get("CTGAN_FUSE_MEANPOOL", "1") != "0"
+
+
+def set_fuse_meanpool(enabled: bool) -> None:
+    """App-config hook: apply ``enabled`` unless CTGAN_FUSE_MEANPOOL is set
+    in the environment (the env var is the A/B escape hatch and always
+    wins).  Tools that need unconditional control (bench_all arms) assign
+    ``blocks.FUSE_MEANPOOL_CONV`` directly instead."""
+    global FUSE_MEANPOOL_CONV
+    if os.environ.get("CTGAN_FUSE_MEANPOOL") is None:
+        FUSE_MEANPOOL_CONV = enabled
 
 
 def conv_mean_pool(name, input_dim, output_dim, filter_size, inputs, *, he_init=True, biases=True):

@@ -103,6 +103,15 @@ def main():
 
     from workloads import build_workload
 
+    # A/B contract: base arms (mnist/cifar/resnet/good64/lsun128) measure
+    # the UNFUSED mean-pool path, `*_mpf` arms force the fused one — pinned
+    # explicitly here because the shipped default flipped to fused in r4
+    # (blocks.FUSE_MEANPOOL_CONV) and inheriting it would compare fused vs
+    # fused.
+    from ctgan_tpu.models import blocks
+
+    blocks.FUSE_MEANPOOL_CONV = False
+
     t = args.tiny
     wl = set(args.workloads.split(","))
     for which in ("mnist", "cifar", "resnet"):
@@ -151,6 +160,26 @@ def main():
                          args.iters)
             finally:
                 blocks.FUSE_MEANPOOL_CONV, blocks.FUSE_UPSAMPLE_CONV = old
+    if "resnet_bf16opt_ab" in wl:
+        # bf16 optimizer-state residency (ROADMAP "further-out lever"): Adam
+        # m/v in bf16 halve the opt-state HBM traffic on a byte-bound step.
+        # Measured under the SHIPPED r4 config (fused mean-pool) so the
+        # delta composes with what ships; numerics risk means adoption
+        # additionally needs an at-schedule equivalence run, not just this
+        # stopwatch.
+        old = blocks.FUSE_MEANPOOL_CONV
+        blocks.FUSE_MEANPOOL_CONV = True
+        try:
+            for label, ov in (
+                ("_fused", {}),
+                ("_fused_bf16opt", {"opt_state_dtype": "bfloat16"}),
+            ):
+                w = build_workload("resnet", tiny=t, **ov)
+                _measure(w.name + label, w.init_state, w.step_fn,
+                         w.make_batch, w.batch_size, w.critic_iters,
+                         args.iters)
+        finally:
+            blocks.FUSE_MEANPOOL_CONV = old
     if "good64_mpf" in wl:
         from ctgan_tpu.models import blocks
 
@@ -173,6 +202,18 @@ def main():
                      args.iters)
     if "io64" in wl:
         _io64(args)
+    if "lsun128_mpf" in wl:
+        # lsun128's only mean-pool site is the 1x1 down-shortcut
+        # (blocks.residual_block_stride) — small lever, but the shortcut
+        # still materializes a full-res activation per down block.
+        old = blocks.FUSE_MEANPOOL_CONV
+        blocks.FUSE_MEANPOOL_CONV = True
+        try:
+            w = build_workload("lsun128", tiny=t, remat=False)
+            _measure(w.name + "_mpf", w.init_state, w.step_fn, w.make_batch,
+                     w.batch_size, w.critic_iters, args.iters)
+        finally:
+            blocks.FUSE_MEANPOOL_CONV = old
     if "lsun128" in wl:
         # remat both ways: the leak that forced per-process isolation and
         # remat=False in round 2 is fixed (train/remat.py); measure the
