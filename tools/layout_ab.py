@@ -89,6 +89,10 @@ ARMS = {
                "xla_tpu_enable_copy_permute_minor_fusion": "true",
                "xla_tpu_enable_copy_fusion": "true",
                "xla_tpu_enable_untiled_layout": "true"},
+    # The one combo VERDICT r3 Weak #4 singles out: the two best solo arms
+    # (~23.8-23.9 ms each on the unfused program) stacked.
+    "h_copy_elision": {"xla_tpu_enable_layout_hints": "false",
+                       "xla_tpu_copy_elision_analysis_allowance": "100000"},
 }
 
 

@@ -1,4 +1,10 @@
 #!/bin/bash
+# SUPERSEDED by run_queue_r5a.sh / run_queue_r5b.sh (round 4): those
+# serialize on a PID lockfile (runs/chip.lock) instead of this script's
+# log-mtime gate, which ADVICE r3 correctly flagged as racy (XLA compiles
+# keep the log silent for >300 s).  Kept for the record of what was
+# queued at the end of round 3.
+#
 # Round-4 long-leg queue: the jobs too expensive for a ~1 h session,
 # in priority order.  Everything here is resumable or harmless to kill.
 # Waits for run_queue_r4e.sh (if running) by watching its log go quiet.
