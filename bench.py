@@ -166,7 +166,7 @@ def main() -> None:
     from ctgan_tpu.data import DeviceSampler
 
     sampler = DeviceSampler(
-        [train_x.astype("int32"), train_y.astype("int32")], BATCH, CRITIC_ITERS
+        [train_x.astype("uint8"), train_y.astype("int32")], BATCH, CRITIC_ITERS
     )
 
     # Timing on the tunneled backend is hostile in BOTH easy directions:

@@ -77,7 +77,7 @@ def main(argv=None, cfg: Config | None = None):
     data = cifar10.load_arrays(cfg.DATA_DIR or None, n_examples=cfg.n_examples)
     full = cifar10.load_arrays(cfg.DATA_DIR or None)
     sampler = DeviceSampler(
-        [data["train"][0].astype("int32")], cfg.BATCH_SIZE, cfg.CRITIC_ITERS,
+        [data["train"][0].astype("uint8")], cfg.BATCH_SIZE, cfg.CRITIC_ITERS,
         seed=cfg.seed,
     )
     dev_images = data["test"][0][: cfg.BATCH_SIZE * 10]

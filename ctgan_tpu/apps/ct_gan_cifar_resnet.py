@@ -141,7 +141,7 @@ def main(argv=None, cfg: Config | None = None):
 
     data = cifar10.load_arrays(cfg.DATA_DIR or None, n_examples=cfg.n_examples)
     sampler = DeviceSampler(
-        [data["train"][0].astype("int32"), data["train"][1].astype("int32")],
+        [data["train"][0].astype("uint8"), data["train"][1].astype("int32")],
         cfg.BATCH_SIZE, cfg.N_CRITIC, seed=cfg.seed,
     )
     dev_images, dev_labels = data["test"]

@@ -54,8 +54,13 @@ def make_hbm_input(
 
     c, h, w = chw
     out_dim = c * h * w
+    # The pool is HBM-resident for the whole run, so dtype is a capacity
+    # knob, not a speed one: uint8 keeps residency at 1 byte/px (a real
+    # LSUN-scale pool fits; int32 quadruples it), and the gather reads 4x
+    # fewer HBM bytes.  Dequantization happens after selection, on the
+    # [K*B, ...] batch only.
     sampler = DeviceSampler(
-        [pool_flat_u8.astype("int32")], batch_size, critic_iters, seed=seed
+        [pool_flat_u8.astype("uint8")], batch_size, critic_iters, seed=seed
     )
     data_args = tuple(sampler.arrays)
     counter = {"i": 0}

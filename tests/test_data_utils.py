@@ -170,3 +170,41 @@ def test_host_perm_matches_in_trace_permutation():
         via_host = np.asarray(s.sample(jnp.asarray(step), perm=s.host_perm(step)))
         via_trace = np.asarray(s.sample(jnp.asarray(step)))
         np.testing.assert_array_equal(via_host, via_trace)
+
+
+def test_uint8_pool_residency_and_stream_equivalence():
+    """The HBM-resident image pool ships as uint8 (capacity: 1 byte/px —
+    an int32 pool quadruples dataset residency and gather traffic), and
+    the selected batches are bit-identical to the int32-pool stream after
+    the trainer's astype(float32) dequant."""
+    from ctgan_tpu.data.hbm_input import make_hbm_input
+
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 256, size=(64, 3 * 8 * 8), dtype=np.uint8)
+
+    s8 = DeviceSampler([pool.astype("uint8")], batch_size=4, critic_iters=2, seed=3)
+    s32 = DeviceSampler([pool.astype("int32")], batch_size=4, critic_iters=2, seed=3)
+    for step in (0, 5, 9):
+        b8 = np.asarray(s8.sample(jnp.asarray(step))).astype(np.float32)
+        b32 = np.asarray(s32.sample(jnp.asarray(step))).astype(np.float32)
+        np.testing.assert_array_equal(b8, b32)
+
+    captured = {}
+
+    def spy_step(state, x, key):
+        captured["x"] = x
+        return state, {}
+
+    run_step, next_batch, _, _ = make_hbm_input(
+        spy_step, pool, batch_size=4, critic_iters=2, chw=(3, 8, 8), seed=3
+    )
+    (data_args,) = next_batch()
+    assert all(a.dtype == jnp.uint8 for a in data_args)
+
+    class _S:  # minimal state with the .step the input path keys on
+        step = jnp.asarray(0)
+
+    run_step(_S(), data_args, jax.random.PRNGKey(0))
+    x = captured["x"]
+    assert x.dtype == jnp.float32 and x.shape == (2, 4, 3 * 8 * 8)
+    assert float(x.min()) >= -1.0 and float(x.max()) <= 1.0

@@ -59,7 +59,7 @@ def main() -> None:
                 disc_fn(gen_fn(2, labels), labels, 0.8, 0.5, 0.5)
         gp, dp, _ = split_params(ctx.params, "Generator", "Discriminator")
         state = init_state(gp, dp)
-        sampler = DeviceSampler([tx.astype("int32"), ty.astype("int32")], B, K)
+        sampler = DeviceSampler([tx.astype("uint8"), ty.astype("int32")], B, K)
         data_args = tuple(sampler.arrays)
 
         def full_step(state, i, data, key):

@@ -304,7 +304,7 @@ def _io64(args):
             "disc_cost": float(m["disc_cost"]),
         }), flush=True)
 
-    sampler = DeviceSampler([images.astype("int32")], batch, k)
+    sampler = DeviceSampler([images.astype("uint8")], batch, k)
     data_args = tuple(sampler.arrays)
     run_path(
         "good64_input_device_sampler",

@@ -170,7 +170,7 @@ def main():
     gen_params, disc_params = _init_flagship(cfg_model)
     state = init_state(gen_params, disc_params)
     (tx, ty), _ = synthetic_cifar10(n_train=args.batch * 5 * 2)
-    sampler = DeviceSampler([tx.astype("int32"), ty.astype("int32")], args.batch, 5)
+    sampler = DeviceSampler([tx.astype("uint8"), ty.astype("int32")], args.batch, 5)
 
     def full(state, i, key):
         r, l = sampler.sample(i)
