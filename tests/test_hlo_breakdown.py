@@ -142,3 +142,34 @@ def test_breakdown_copy_taxonomy():
     # HBM side — here one HBM read, an S(1) result write; -done is free
     assert by_cat["async:slice"] == 8 * 1 * 4 * 16 * 2
     assert "async-start" not in by_cat and "async-done" not in by_cat
+
+
+# Sync slices follow the async-slice rule (round 4): a slice reads only
+# the sliced REGION, not its whole operand — the operands+outputs charge
+# overstated good64's compiler-generated spatial-chunk slices ~2.5x.
+SYNC_SLICE = """\
+HloModule jit_slices
+
+ENTRY %main.1 (p0: bf16[8,4,4,16]) -> bf16[8,1,4,16] {
+  %p0 = bf16[8,4,4,16]{3,2,1,0:T(8,128)(2,1)} parameter(0)
+  %slice.1 = bf16[8,1,4,16]{3,2,1,0:T(8,128)(2,1)} slice(%p0), slice={[0:8], [0:1], [0:4], [0:16]}
+  %copy.v = bf16[8,4,4,16]{3,2,1,0:T(8,128)(2,1)S(1)} copy(%p0)
+  %slice.2 = bf16[8,1,4,16]{3,2,1,0:T(8,128)(2,1)} slice(%copy.v), slice={[0:8], [1:2], [0:4], [0:16]}
+  %iota.1 = s32[]{:S(2)} iota(), iota_dimension=0
+  %dus.1 = bf16[8,4,4,16]{3,2,1,0:T(8,128)(2,1)} dynamic-update-slice(%p0, %slice.1, %iota.1, %iota.1, %iota.1, %iota.1)
+  ROOT %slice.3 = bf16[8,1,4,16]{3,2,1,0:T(8,128)(2,1)S(1)} slice(%p0), slice={[0:8], [2:3], [0:4], [0:16]}
+}
+"""
+
+
+def test_breakdown_sync_slice_region_accounting():
+    by_cat, n_by_cat, _, _ = breakdown(SYNC_SLICE)
+    region = 8 * 1 * 4 * 16 * 2  # bf16 bytes of the sliced region
+    # slice.1: HBM operand + HBM out -> 2 regions; slice.2: VMEM operand
+    # (copy.v is S(1)) + HBM out -> 1 region; slice.3: HBM operand + S(1)
+    # out -> 1 region.  NEVER the full [8,4,4,16] operand.
+    assert by_cat["slice"] == 4 * region
+    assert n_by_cat["slice"] == 3
+    # dynamic-update-slice: the update region twice (read update + write
+    # region in place), not the full destination buffer
+    assert by_cat["dynamic-update-slice"] == 2 * region

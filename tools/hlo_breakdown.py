@@ -139,7 +139,12 @@ def breakdown(hlo_text: str):
             continue
         if s.endswith("{") and ("(" in s) and "=" not in s.split("(")[0]:
             name = s.split("(")[0].strip().lstrip("%")
-            in_skipped_block = name.startswith(("fused_computation", "wrapped_"))
+            # async_computation bodies hold the inner op of an async pair
+            # (e.g. the slice of a slice-start) — the async-start already
+            # carries the charge, so counting the body double-counts it
+            in_skipped_block = name.startswith(
+                ("fused_computation", "wrapped_", "async_computation")
+            )
             continue
         if not s or s.startswith(("HloModule", "ENTRY", "//")):
             continue
@@ -188,6 +193,22 @@ def breakdown(hlo_text: str):
             )
             inner = m.group(1).lstrip("%").rsplit("-start", 1)[0].rsplit(".", 1)[0]
             cat = f"async:{inner}"
+        elif kind in ("slice", "dynamic-slice"):
+            # Same rule as async:slice — a slice reads only the sliced
+            # REGION, not the whole operand (the naive operands+outputs
+            # charge overstated good64's slice category ~2.5x, see
+            # VALIDATION "good64 HLO byte attribution").  Charge the
+            # region per HBM side: operand side if the producer's output
+            # lives in HBM (in_b > 0), result side if the output does.
+            region = shape_bytes(m.group(2))
+            b = region * (int(in_b > 0) + int(out_b > 0))
+        elif kind == "dynamic-update-slice":
+            # In-place DUS traffic is the UPDATE region twice (read the
+            # update operand, write the region), not the full destination
+            # buffer.  The update is the second operand.
+            ops = re.findall(r"%([\w.\-]+)", arg_str)
+            upd = sizes.get(ops[1], 0) if len(ops) > 1 else 0
+            b = upd + min(upd, out_b) if out_b else upd
         elif kind == "copy":
             op = re.search(r"copy\(%?([\w.\-]+)", s)
             src_perm = perms.get(op.group(1)) if op else None
