@@ -24,6 +24,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -177,9 +178,31 @@ def main() -> None:
     # ONE jitted lax.scan (single dispatch, single value readback) for two
     # window sizes and difference them — constant dispatch/readback/compile
     # overhead cancels exactly, leaving pure per-iteration device time.
+    # The shipped apps use DeviceSampler.host_perm (one host-side epoch
+    # shuffle, passed through the jit boundary) — the in-trace fallback
+    # re-sorts the pool EVERY iteration.  Mirror the app inside the scan:
+    # precompute the per-epoch shuffles the window will consume and index
+    # the table by epoch in-trace.  CTGAN_BENCH_DATA=intrace keeps the old
+    # in-trace-perm body, =fixed feeds one precomputed batch every
+    # iteration (pure-step diagnostic; NOT an honest end-to-end number).
+    bench_data_mode = os.environ.get("CTGAN_BENCH_DATA", "host_perm")
+    ipe = sampler.iters_per_epoch
+    n_epochs = (MEASURE_ITERS * 5) // ipe + 1
+    perm_table = jnp.stack(
+        [sampler.host_perm(e * ipe) for e in range(n_epochs)]
+    )
+    fixed_batch = sampler.sample(jnp.asarray(0), tuple(sampler.arrays),
+                                 sampler.host_perm(0))
+
     def multi_step(state, data, key, k):
         def body(carry, i):
-            real_stack, label_stack = sampler.sample(i, data)
+            if bench_data_mode == "fixed":
+                real_stack, label_stack = fixed_batch
+            elif bench_data_mode == "intrace":
+                real_stack, label_stack = sampler.sample(i, data)
+            else:
+                perm = jnp.take(perm_table, i // ipe, axis=0)
+                real_stack, label_stack = sampler.sample(i, data, perm)
             carry, m = step_fn(carry, real_stack, label_stack, key)
             return carry, m["disc_cost"]
 
@@ -246,6 +269,7 @@ def main() -> None:
         "hbm_floor_sec_per_iter": hbm_floor,
         "fuse_meanpool": bool(blocks.FUSE_MEANPOOL_CONV),
         "timing": f"scan-window diff ({K2}-{K1} iters), overhead-cancelling",
+        "data_mode": bench_data_mode,
         "window_secs": [round(t_k1, 2), round(t_k2, 2)],
         "compile_plus_warmup_sec": round(compile_s, 1),
         "device": str(jax.devices()[0]),

@@ -69,10 +69,19 @@ run_training() {  # run_training <name> <max_secs> <logfile> <cmd...>
   done
 }
 
-# 1. the shipped bench under the uint8 pool (the program the driver will
-#    record as BENCH_r04 — must be revalidated after the residency change)
-run_job bench_uint8 1500 \
+# 1. the shipped bench under the uint8 pool + host-perm scan body (the
+#    program the driver will record as BENCH_r04 — must be revalidated
+#    after both data-path changes)
+run_job bench_uint8_hostperm 1500 \
   python bench.py
+
+# 1b/1c. data-path attribution A/B: the old in-trace-perm scan body and a
+#    fixed-batch pure-step diagnostic.  Together with 1 this separates
+#    (perm sort + gather) from the step itself — the 16.8 vs 14.8 ms gap.
+run_job bench_intrace_perm 1200 \
+  env CTGAN_BENCH_DATA=intrace python bench.py
+run_job bench_fixed_data 1200 \
+  env CTGAN_BENCH_DATA=fixed python bench.py
 
 # 2. fused+uint8 cost account (argument bytes drop 4x for the pool slot)
 run_job cost_analysis_uint8 1800 \
