@@ -214,6 +214,7 @@ def main(argv=None, cfg: Config | None = None):
         targets_np = np.asarray(saved["targets"])
         targets2_np = np.asarray(saved["targets2"])
         start_epoch = int(saved["epoch"]) + 1
+        logger.set_iteration(start_epoch)  # absolute epoch labels post-resume
         print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
     for epoch in range(start_epoch, cfg.epochs):

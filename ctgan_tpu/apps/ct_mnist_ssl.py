@@ -156,6 +156,7 @@ def main(argv=None, cfg: Config | None = None):
             for k in SslState._fields
         })
         start_epoch = int(saved["epoch"]) + 1
+        logger.set_iteration(start_epoch)  # absolute epoch labels post-resume
         print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
     def stack(arr, idx, t0, t1):

@@ -36,6 +36,21 @@ class MetricLogger:
         self._iter = 0
         self._since_flush: dict[str, list] = collections.defaultdict(list)
         self._history: dict[str, dict[int, float]] = collections.defaultdict(dict)
+        # Resume-safety: log.pkl is rewritten from _history on every flush,
+        # so a resumed run that starts with an empty history would erase the
+        # pre-resume curve (this bit the round-2 flagship evidence — its
+        # pre-15k IS points survived only in log.ndjson).  Reload any
+        # existing pickle; a fresh run in a reused dir overwrites entries
+        # at the same iteration numbers naturally.
+        if out_dir:
+            pkl = os.path.join(out_dir, "log.pkl")
+            if os.path.exists(pkl):
+                try:
+                    with open(pkl, "rb") as f:
+                        for name, series in pickle.load(f).items():
+                            self._history[name].update(series)
+                except Exception:
+                    pass  # unreadable/corrupt old pickle: start clean
 
     # -- reference API (tflib/plot.py:15-41) ------------------------------
     def plot(self, name: str, value) -> None:

@@ -94,3 +94,32 @@ def test_prune_checkpoints_skips_unparseable_and_sidecars(tmp_path):
     _prune_checkpoints(d, keep=2)
     left = sorted(os.listdir(d))
     assert left == ["ckpt_300.npz", "ckpt_400.npz", "ckpt_best.npz"]
+
+
+def test_metric_logger_resume_preserves_history(tmp_path):
+    """log.pkl is rewritten from in-memory history on every flush, so a
+    resumed process must reload the existing pickle or the pre-resume
+    curve is erased (this lost the round-2 flagship's pre-15k IS points;
+    they survived only in log.ndjson)."""
+    import pickle
+
+    from ctgan_tpu.utils import MetricLogger
+
+    d = str(tmp_path)
+    lg = MetricLogger(d)
+    for i in range(3):
+        lg.plot("loss", float(i))
+        lg.tick()
+        lg.flush()
+
+    # simulate a crash + resume: fresh process, same out_dir
+    lg2 = MetricLogger(d)
+    lg2.set_iteration(3)
+    lg2.plot("loss", 99.0)
+    lg2.tick()
+    lg2.flush()
+
+    with open(tmp_path / "log.pkl", "rb") as f:
+        hist = pickle.load(f)
+    assert sorted(hist["loss"]) == [1, 2, 3, 4]  # old iters 1-3 survive
+    assert hist["loss"][4] == 99.0
