@@ -25,11 +25,127 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 230.0  # see module docstring
+
+# The single tunneled chip is serialized on this PID-liveness lockfile by the
+# training queues (tools/run_queue_*.sh).  The tunnel claim is exclusive: a
+# second claimant blocks until the first exits, so a bench fired while a
+# queue leg trains would watchdog out (exit 7) on every retry and record a
+# degraded 0.0 artifact.  The supervisor therefore acquires the lock before
+# spawning measurement children: wait up to CTGAN_BENCH_LOCK_WAIT seconds
+# (default 600) for the holder to finish, then preempt its process tree —
+# every queue leg checkpoints and resumes by contract, so preemption costs
+# at most one checkpoint interval, while a lost headline bench costs the
+# round its only hardware number.
+CHIP_LOCK = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "runs", "chip.lock"
+)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    try:
+        # A SIGTERM'd child we have not reaped is a zombie: signalable but
+        # gone for chip-occupancy purposes.
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        return stat.rsplit(")", 1)[1].split()[0] != "Z"
+    except (OSError, IndexError):
+        return False
+
+
+def _descendants(pid: int) -> list[int]:
+    """Transitive children of `pid` via /proc (exact PIDs, no name matching)."""
+    out, frontier = [], [pid]
+    while frontier:
+        p = frontier.pop()
+        try:
+            tasks = os.listdir(f"/proc/{p}/task")
+        except OSError:
+            continue
+        for t in tasks:
+            try:
+                with open(f"/proc/{p}/task/{t}/children") as f:
+                    kids = [int(c) for c in f.read().split()]
+            except (OSError, ValueError):
+                continue
+            out.extend(kids)
+            frontier.extend(kids)
+    return out
+
+
+def _preempt_tree(holder: int) -> None:
+    """SIGTERM (then SIGKILL) the lock holder and its whole subtree.
+
+    Holder first: queue scripts trap EXIT to remove the lock and must not
+    relaunch the leg we are about to kill."""
+    tree = [holder] + _descendants(holder)
+    print(f"bench: preempting chip-lock holder {holder} (tree {tree})",
+          file=sys.stderr, flush=True)
+    for sig, grace in ((signal.SIGTERM, 15.0), (signal.SIGKILL, 2.0)):
+        for p in tree:
+            try:
+                os.kill(p, sig)
+            except OSError:
+                pass
+        deadline = time.time() + grace
+        while time.time() < deadline and any(_pid_alive(p) for p in tree):
+            time.sleep(0.5)
+        tree = [p for p in tree if _pid_alive(p)]
+        if not tree:
+            break
+
+
+def _read_lock_holder() -> int | None:
+    try:
+        with open(CHIP_LOCK) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _release_chip_lock() -> None:
+    if _read_lock_holder() == os.getpid():
+        try:
+            os.remove(CHIP_LOCK)
+        except OSError:
+            pass
+
+
+def _acquire_chip_lock() -> None:
+    max_wait = float(os.environ.get("CTGAN_BENCH_LOCK_WAIT", "600"))
+    deadline = time.time() + max_wait
+    waited = False
+    while True:
+        holder = _read_lock_holder()
+        if holder is None or holder == os.getpid() or not _pid_alive(holder):
+            break
+        if time.time() >= deadline:
+            _preempt_tree(holder)
+            break
+        if not waited:
+            print(f"bench: chip.lock held by live pid {holder}; waiting up to "
+                  f"{max_wait:.0f}s for the queue leg to finish",
+                  file=sys.stderr, flush=True)
+            waited = True
+        time.sleep(5)
+    os.makedirs(os.path.dirname(CHIP_LOCK), exist_ok=True)
+    with open(CHIP_LOCK, "w") as f:
+        f.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(_release_chip_lock)
 
 BATCH = 64
 CRITIC_ITERS = 5
@@ -83,10 +199,9 @@ def _supervise() -> None:
     fail we still print ONE parseable JSON line describing the failure and
     exit 0 so the driver records a degraded artifact instead of rc=1.
     """
-    import os
     import subprocess
-    import sys
 
+    _acquire_chip_lock()
     attempts = 3
     child_timeout = [900, 600, 600]
     backoff = [20, 40]
