@@ -132,6 +132,11 @@ def _acquire_chip_lock() -> None:
         if holder is None or holder == os.getpid() or not _pid_alive(holder):
             break
         if time.time() >= deadline:
+            # Claim first so a queue waiting on the lock never sees a free
+            # window while we preempt; the holder's EXIT trap may still
+            # rm the file, so the post-loop write below re-heals it.
+            with open(CHIP_LOCK, "w") as f:
+                f.write(str(os.getpid()))
             _preempt_tree(holder)
             break
         if not waited:

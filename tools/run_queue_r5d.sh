@@ -16,15 +16,28 @@ BUDGET=${1:-36000}
 LOG=runs/queue_r5d.log
 LOCK=runs/chip.lock
 
-for _ in $(seq 1 1440); do
+# Wait for the lock; require it free on TWO polls 20s apart before
+# claiming — bench.py preemption of the current holder can open a
+# transient free window (the holder's EXIT trap rm's the file a beat
+# before bench re-heals it with its own pid) and grabbing the chip
+# inside that window would corrupt the round-end measurement.
+lock_free() {
   if [ -f "$LOCK" ]; then
     pid=$(cat "$LOCK" 2>/dev/null || echo "")
-    if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then sleep 30; continue; fi
+    if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then return 1; fi
   fi
-  break
+  return 0
+}
+for _ in $(seq 1 1440); do
+  if lock_free; then
+    sleep 20
+    lock_free && break
+  fi
+  sleep 30
 done
 echo $$ > "$LOCK"
-trap 'rm -f "$LOCK"' EXIT
+# Only remove the lock we still own (bench may have taken it over).
+trap '[ "$(cat "$LOCK" 2>/dev/null)" = "$$" ] && rm -f "$LOCK"' EXIT
 
 START=$(date +%s)
 echo "=== r5d starting (budget ${BUDGET}s) $(date -u +%FT%TZ) ===" >> "$LOG"
