@@ -217,109 +217,119 @@ def main(argv=None, cfg: Config | None = None):
         logger.set_iteration(start_epoch)  # absolute epoch labels post-resume
         print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
-    for epoch in range(start_epoch, cfg.epochs):
-        erng = np.random.default_rng((cfg.seed, epoch))
-        reps = int(np.ceil(n / len(txs)))
-        lab_idx = np.concatenate([erng.permutation(len(txs)) for _ in range(reps)])[:n]
-        unl1 = erng.permutation(n)
-        unl2 = erng.permutation(n)
+    # Hang detection for the tunneled chip: one beat per epoch; a wedged
+    # runtime call exits the process so the queue retries and the exact
+    # epoch-level resume above picks up (utils/watchdog.py).
+    from ctgan_tpu.utils.watchdog import StepWatchdog
 
-        epoch_preds = np.zeros((n, 10), "float32")
-        epoch_preds2 = np.zeros((n, 128), "float32")
-        sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_gen": 0.0}
-        n_calls = 0
+    watchdog = StepWatchdog.start_from_env(name="ct_cifar_ssl")
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            erng = np.random.default_rng((cfg.seed, epoch))
+            reps = int(np.ceil(n / len(txs)))
+            lab_idx = np.concatenate([erng.permutation(len(txs)) for _ in range(reps)])[:n]
+            unl1 = erng.permutation(n)
+            unl2 = erng.permutation(n)
 
-        def stack(arr, idx):
-            return jnp.asarray(arr[idx].reshape(-1, bs, *arr.shape[1:]))
+            epoch_preds = np.zeros((n, 10), "float32")
+            epoch_preds2 = np.zeros((n, 128), "float32")
+            sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_gen": 0.0}
+            n_calls = 0
 
-        if cfg.epoch_scan:
-            m = nr_batches * bs
-            idx_s = lambda a: jnp.asarray(a[:m].reshape(nr_batches, bs).astype("int32"))
-            targets_dev = (
-                (jnp.asarray(targets_np), jnp.asarray(targets2_np))
-                if cfg.temporal_ensembling else None
-            )
-            state, (metrics, probs, feats) = jit_epoch(
-                state, dev_data, idx_s(lab_idx), idx_s(unl1), idx_s(unl2),
-                targets_dev, key,
-            )
-            if cfg.temporal_ensembling:
-                u1 = unl1[:m]
-                epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
-                epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)
-            n_calls = 1
-            for k in sums:
-                sums[k] += float(metrics[k])
-        else:
-            for t0 in range(0, nr_batches, CHUNK):
-                t1 = min(t0 + CHUNK, nr_batches)
-                if t1 - t0 != CHUNK and t0 > 0:
-                    break  # drop ragged tail (avoids a second compile)
-                sl = slice(t0 * bs, t1 * bs)
-                li = lab_idx[sl]
-                u1 = unl1[sl]
-                targets = None
+            def stack(arr, idx):
+                return jnp.asarray(arr[idx].reshape(-1, bs, *arr.shape[1:]))
+
+            if cfg.epoch_scan:
+                m = nr_batches * bs
+                idx_s = lambda a: jnp.asarray(a[:m].reshape(nr_batches, bs).astype("int32"))
+                targets_dev = (
+                    (jnp.asarray(targets_np), jnp.asarray(targets2_np))
+                    if cfg.temporal_ensembling else None
+                )
+                state, (metrics, probs, feats) = jit_epoch(
+                    state, dev_data, idx_s(lab_idx), idx_s(unl1), idx_s(unl2),
+                    targets_dev, key,
+                )
                 if cfg.temporal_ensembling:
-                    targets = (
-                        stack(targets_np, u1), stack(targets2_np, u1)
-                    )
-                if CHUNK == 1:
-                    tg = None if targets is None else (targets[0][0], targets[1][0])
-                    state, (metrics, probs, feats) = jit_step(
-                        state,
-                        jnp.asarray(txs[li]), jnp.asarray(tys[li]),
-                        jnp.asarray(trainx[u1]), jnp.asarray(trainx[unl2[sl]]),
-                        tg, key,
-                    )
-                    probs = probs[None]
-                    feats = feats[None]
-                else:
-                    state, (metrics, probs, feats) = jit_multi(
-                        state,
-                        stack(txs, li), stack(tys, li),
-                        stack(trainx, u1), stack(trainx, unl2[sl]),
-                        targets, key,
-                    )
-                if cfg.temporal_ensembling:
+                    u1 = unl1[:m]
                     epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
                     epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)
-                n_calls += 1
+                n_calls = 1
                 for k in sums:
                     sums[k] += float(metrics[k])
+            else:
+                for t0 in range(0, nr_batches, CHUNK):
+                    t1 = min(t0 + CHUNK, nr_batches)
+                    if t1 - t0 != CHUNK and t0 > 0:
+                        break  # drop ragged tail (avoids a second compile)
+                    sl = slice(t0 * bs, t1 * bs)
+                    li = lab_idx[sl]
+                    u1 = unl1[sl]
+                    targets = None
+                    if cfg.temporal_ensembling:
+                        targets = (
+                            stack(targets_np, u1), stack(targets2_np, u1)
+                        )
+                    if CHUNK == 1:
+                        tg = None if targets is None else (targets[0][0], targets[1][0])
+                        state, (metrics, probs, feats) = jit_step(
+                            state,
+                            jnp.asarray(txs[li]), jnp.asarray(tys[li]),
+                            jnp.asarray(trainx[u1]), jnp.asarray(trainx[unl2[sl]]),
+                            tg, key,
+                        )
+                        probs = probs[None]
+                        feats = feats[None]
+                    else:
+                        state, (metrics, probs, feats) = jit_multi(
+                            state,
+                            stack(txs, li), stack(tys, li),
+                            stack(trainx, u1), stack(trainx, unl2[sl]),
+                            targets, key,
+                        )
+                    if cfg.temporal_ensembling:
+                        epoch_preds[u1] = np.asarray(probs).reshape(-1, 10)
+                        epoch_preds2[u1] = np.asarray(feats).reshape(-1, 128)
+                    n_calls += 1
+                    for k in sums:
+                        sums[k] += float(metrics[k])
 
-        nr_batches_eff = max(n_calls, 1)
+            nr_batches_eff = max(n_calls, 1)
 
-        if cfg.temporal_ensembling:
-            # bias-corrected EMA target update (TE:305-309)
-            ensemble, targets_np = map(np.asarray, ema_targets_update(
-                jnp.asarray(ensemble), jnp.asarray(epoch_preds), epoch,
-                decay=cfg.prediction_decay,
-            ))
-            ensemble2, targets2_np = map(np.asarray, ema_targets_update(
-                jnp.asarray(ensemble2), jnp.asarray(epoch_preds2), epoch,
-                decay=cfg.prediction_decay,
-            ))
+            if cfg.temporal_ensembling:
+                # bias-corrected EMA target update (TE:305-309)
+                ensemble, targets_np = map(np.asarray, ema_targets_update(
+                    jnp.asarray(ensemble), jnp.asarray(epoch_preds), epoch,
+                    decay=cfg.prediction_decay,
+                ))
+                ensemble2, targets2_np = map(np.asarray, ema_targets_update(
+                    jnp.asarray(ensemble2), jnp.asarray(epoch_preds2), epoch,
+                    decay=cfg.prediction_decay,
+                ))
 
-        if cfg.epoch_scan:
-            test_err = float(jit_test_sweep(state, test_xs, test_ys))
-        else:
-            test_err = float(np.mean([
-                float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
-                for i in range(0, len(testx) - bs + 1, bs)
-            ]))
-        for k, v in sums.items():
-            logger.plot(k, v / nr_batches_eff)
-        logger.plot("test_err", test_err)
-        logger.tick()
-        logger.flush()
-        save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
-        save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
-        save_checkpoint(ckpt_path, {
-            "state": state._asdict(),
-            "ensemble": ensemble, "ensemble2": ensemble2,
-            "targets": targets_np, "targets2": targets2_np,
-            "epoch": epoch,
-        })
+            if cfg.epoch_scan:
+                test_err = float(jit_test_sweep(state, test_xs, test_ys))
+            else:
+                test_err = float(np.mean([
+                    float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
+                    for i in range(0, len(testx) - bs + 1, bs)
+                ]))
+            for k, v in sums.items():
+                logger.plot(k, v / nr_batches_eff)
+            logger.plot("test_err", test_err)
+            logger.tick()
+            logger.flush()
+            save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
+            save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+            save_checkpoint(ckpt_path, {
+                "state": state._asdict(),
+                "ensemble": ensemble, "ensemble2": ensemble2,
+                "targets": targets_np, "targets2": targets2_np,
+                "epoch": epoch,
+            })
+            watchdog.beat()
+    finally:
+        watchdog.stop()
     return state
 
 

@@ -163,55 +163,65 @@ def main(argv=None, cfg: Config | None = None):
         sel = idx[t0 * bs : t1 * bs]
         return jnp.asarray(arr[sel].reshape(t1 - t0, bs, *arr.shape[1:]))
 
-    for epoch in range(start_epoch, cfg.epochs):
-        # tiled shuffled labeled stream (:145-152) + two unlabeled streams
-        erng = np.random.default_rng((cfg.seed, epoch))
-        reps = int(np.ceil(n / len(txs)))
-        lab_idx = np.concatenate([erng.permutation(len(txs)) for _ in range(reps)])[:n]
-        unl1 = erng.permutation(n)
-        unl2 = erng.permutation(n)
+    # Hang detection for the tunneled chip: one beat per epoch; a wedged
+    # runtime call exits the process so the queue retries and the exact
+    # epoch-level resume above picks up (utils/watchdog.py).
+    from ctgan_tpu.utils.watchdog import StepWatchdog
 
-        sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_ct": 0.0}
-        if cfg.epoch_scan:
-            m = nr_batches * bs
-            idx_s = lambda a: jnp.asarray(a[:m].reshape(nr_batches, bs).astype("int32"))
-            state, metrics = jit_epoch(
-                state, dev_data, idx_s(lab_idx), idx_s(unl1), idx_s(unl2), key
-            )
-            for k in sums:
-                sums[k] += float(metrics[k])
-            nr_batches_eff = 1
-        else:
-            n_chunks = 0
-            for t0 in range(0, nr_batches, CHUNK):
-                t1 = min(t0 + CHUNK, nr_batches)
-                if t1 - t0 != CHUNK and t0 > 0:
-                    break  # drop ragged tail chunk (avoids a second compile)
-                state, (metrics, _, _) = jit_multi(
-                    state,
-                    stack(txs, lab_idx, t0, t1), stack(tys, lab_idx, t0, t1),
-                    stack(trainx, unl1, t0, t1), stack(trainx, unl2, t0, t1),
-                    None, key,
+    watchdog = StepWatchdog.start_from_env(name="ct_mnist_ssl")
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            # tiled shuffled labeled stream (:145-152) + two unlabeled streams
+            erng = np.random.default_rng((cfg.seed, epoch))
+            reps = int(np.ceil(n / len(txs)))
+            lab_idx = np.concatenate([erng.permutation(len(txs)) for _ in range(reps)])[:n]
+            unl1 = erng.permutation(n)
+            unl2 = erng.permutation(n)
+
+            sums = {"loss_lab": 0.0, "loss_unl": 0.0, "train_err": 0.0, "loss_ct": 0.0}
+            if cfg.epoch_scan:
+                m = nr_batches * bs
+                idx_s = lambda a: jnp.asarray(a[:m].reshape(nr_batches, bs).astype("int32"))
+                state, metrics = jit_epoch(
+                    state, dev_data, idx_s(lab_idx), idx_s(unl1), idx_s(unl2), key
                 )
-                n_chunks += 1
                 for k in sums:
                     sums[k] += float(metrics[k])
-            nr_batches_eff = max(n_chunks, 1)
-        if cfg.epoch_scan:
-            test_err = float(jit_test_sweep(state, test_xs, test_ys))
-        else:
-            test_err = float(np.mean([
-                float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
-                for i in range(0, len(testx) - bs + 1, bs)
-            ]))
-        for k, v in sums.items():
-            logger.plot(k, v / nr_batches_eff)
-        logger.plot("test_err", test_err)
-        logger.tick()
-        logger.flush()
-        save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
-        save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
-        save_checkpoint(ckpt_path, {"state": state._asdict(), "epoch": epoch})
+                nr_batches_eff = 1
+            else:
+                n_chunks = 0
+                for t0 in range(0, nr_batches, CHUNK):
+                    t1 = min(t0 + CHUNK, nr_batches)
+                    if t1 - t0 != CHUNK and t0 > 0:
+                        break  # drop ragged tail chunk (avoids a second compile)
+                    state, (metrics, _, _) = jit_multi(
+                        state,
+                        stack(txs, lab_idx, t0, t1), stack(tys, lab_idx, t0, t1),
+                        stack(trainx, unl1, t0, t1), stack(trainx, unl2, t0, t1),
+                        None, key,
+                    )
+                    n_chunks += 1
+                    for k in sums:
+                        sums[k] += float(metrics[k])
+                nr_batches_eff = max(n_chunks, 1)
+            if cfg.epoch_scan:
+                test_err = float(jit_test_sweep(state, test_xs, test_ys))
+            else:
+                test_err = float(np.mean([
+                    float(jit_test(state, jnp.asarray(testx[i : i + bs]), jnp.asarray(testy[i : i + bs])))
+                    for i in range(0, len(testx) - bs + 1, bs)
+                ]))
+            for k, v in sums.items():
+                logger.plot(k, v / nr_batches_eff)
+            logger.plot("test_err", test_err)
+            logger.tick()
+            logger.flush()
+            save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
+            save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+            save_checkpoint(ckpt_path, {"state": state._asdict(), "epoch": epoch})
+            watchdog.beat()
+    finally:
+        watchdog.stop()
     return state
 
 

@@ -29,6 +29,7 @@ import numpy as np
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.profiler import StepTimer, profile_step
+from ..utils.watchdog import StepWatchdog
 
 __all__ = ["LoopConfig", "train_loop"]
 
@@ -119,8 +120,6 @@ def train_loop(
 
     logger.set_iteration(start_iter)
     timer = StepTimer()
-    last_print = time.time()
-    last_save = time.time()
     # Device metrics are buffered as ONE stacked device array per iteration
     # (async dispatch, no sync) and fetched with a single device->host
     # transfer per flush window.  Converting each metric scalar eagerly
@@ -137,6 +136,39 @@ def train_loop(
                 logger.plot(name, float(val))
         pending.clear()
 
+    # Hang detection: the tunneled runtime can wedge inside a blocking call
+    # (device fetch, checkpoint pull) with no Python-visible error.  The
+    # watchdog turns that into a clean exit-and-retry; the queue resumes
+    # from the last checkpoint.  $CTGAN_STEP_TIMEOUT=0 disables.
+    watchdog = StepWatchdog.start_from_env(name="train_loop")
+    state_box = [state]
+    try:
+        _train_iterations(
+            state_box, jit_step, next_batch, key, cfg, logger,
+            timer, start_iter, pending, drain, watchdog,
+            test_fn=test_fn, callback=callback, data_state=data_state,
+        )
+        state = state_box[0]
+    finally:
+        watchdog.stop()
+
+    drain()
+    # Final flush: without it, up to print_every-1 iterations of metrics
+    # buffered since the last cadence flush vanish at every clean exit or
+    # budget cut (observed: a 12-iteration run logged only iters 0-4).
+    if logger._since_flush:
+        logger.set_iteration(logger._iter - 1)  # label = last included iter,
+        logger.flush()                          # matching the cadence flushes
+    return state
+
+
+def _train_iterations(
+    state_box, jit_step, next_batch, key, cfg, logger, timer, start_iter,
+    pending, drain, watchdog, *, test_fn, callback, data_state,
+):
+    state = state_box[0]
+    last_print = time.time()
+    last_save = time.time()
     for iteration in range(start_iter, cfg.iters):
         with timer.data():
             batch = next_batch()
@@ -192,12 +224,8 @@ def train_loop(
             drain()
             logger.flush()
         logger.tick()
-
-    drain()
-    # Final flush: without it, up to print_every-1 iterations of metrics
-    # buffered since the last cadence flush vanish at every clean exit or
-    # budget cut (observed: a 12-iteration run logged only iters 0-4).
-    if logger._since_flush:
-        logger.set_iteration(logger._iter - 1)  # label = last included iter,
-        logger.flush()                          # matching the cadence flushes
-    return state
+        # The step dispatch above is async; the blocking points a wedged
+        # runtime actually hangs at are drain()/checkpoint fetches inside
+        # this body — so per-iteration beats stop exactly when one wedges.
+        watchdog.beat()
+        state_box[0] = state

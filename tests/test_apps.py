@@ -135,69 +135,17 @@ def test_onehot_toys(tmp_path):
 
 
 def _tiny_ssl_models(monkeypatch):
-    """Swap the full CT_CIFAR nets for minimal ones with the same contract
-    (128-d features for the TE buffers, Classifier./Generator. param
-    prefixes, dd_init support).  The epoch-scan and resume semantics under
-    test are architecture-independent, and the full nets take ~25 min per
-    compile on the 1-core CPU host.  The full-size modes were additionally
-    verified on the real chip (VALIDATION.md round 3)."""
-    import jax.numpy as jnp
+    """Tiny CT_CIFAR nets with the real apps' contract; see tiny_ssl.py
+    (shared with the cross-process determinism test)."""
+    from tiny_ssl import apply_tiny_ssl_models
 
-    import ctgan_tpu.models.classifiers as classifiers
-    from ctgan_tpu.core import rng
-    from ctgan_tpu.models.classifiers import ClassifierOut, deconv_bn_relu
-    from ctgan_tpu.models.common import flat_to_nhwc, nhwc_to_flat
-    from ctgan_tpu.ops import (
-        batchnorm, dropout, global_mean_pool, leaky_relu, linear, relu,
-        wn_conv2d, wn_deconv2d, wn_dense,
-    )
-
-    def tiny_classifier(x, *, deterministic=False, dd_init=False):
-        if x.ndim == 2:
-            x = flat_to_nhwc(x, 3, 32, 32)
-        out = wn_conv2d("Classifier.C1", 3, 16, 3, x, pad=1, stride=2,
-                        nonlinearity=leaky_relu, dd_init=dd_init)
-        out = dropout(out, 0.5, deterministic=deterministic)
-        out = wn_conv2d("Classifier.NIN", 16, 128, 1, out,
-                        nonlinearity=leaky_relu, dd_init=dd_init)
-        pooled = global_mean_pool(out)
-        logits = wn_dense("Classifier.Output", 128, 10, pooled,
-                          nonlinearity=None, dd_init=dd_init,
-                          init_stdv=0.1, train_g=True)
-        return ClassifierOut(logits, pooled, pooled)
-
-    def tiny_generator(n_samples, *, noise_dim=8, noise=None, dd_init=False):
-        import jax
-
-        if noise is None:
-            noise = jax.random.uniform(rng.next_key("noise"),
-                                       (n_samples, noise_dim))
-        out = linear("Generator.D1", noise_dim, 8 * 8 * 8, noise,
-                     biases=False)
-        out = relu(batchnorm("Generator.BN1", out, scale=False))
-        out = out.reshape(-1, 8, 8, 8)
-        out = deconv_bn_relu("Generator.DC1", 8, 8, out)
-        out = wn_deconv2d("Generator.Output", 8, 3, 5, out,
-                          nonlinearity=jnp.tanh, init_stdv=0.1,
-                          train_g=True, dd_init=dd_init)
-        return nhwc_to_flat(out)
-
-    monkeypatch.setattr(classifiers, "cifar_ssl_classifier", tiny_classifier)
-    monkeypatch.setattr(classifiers, "cifar_ssl_generator", tiny_generator)
+    apply_tiny_ssl_models(setter=monkeypatch.setattr)
 
 
 def _small_cifar(monkeypatch):
-    import ctgan_tpu.data.cifar10 as cifar_mod
+    from tiny_ssl import apply_small_cifar
 
-    def small(data_dir=None, subset="train"):
-        from ctgan_tpu.data.synthetic import synthetic_images
-
-        n = 200 if subset == "train" else 100
-        flat, y = synthetic_images(n, 3, 32, seed=0 if subset == "train" else 1)
-        x = flat.reshape(-1, 3, 32, 32).astype("float32") / 255.0 - 0.5
-        return x, y
-
-    monkeypatch.setattr(cifar_mod, "load_normalized", small)
+    apply_small_cifar(setter=monkeypatch.setattr)
 
 
 @slow
