@@ -59,6 +59,17 @@ def _usage() -> str:
 
 
 def main(argv: list[str] | None = None) -> int:
+    try:
+        return _dispatch(argv)
+    except BrokenPipeError:
+        # e.g. ``ctgan-tpu list | head``: the reader closed the pipe; exit
+        # quietly like a well-behaved CLI instead of tracebacking.  Covers
+        # both the console script and ``python -m ctgan_tpu``.
+        sys.stderr.close()
+        return 0
+
+
+def _dispatch(argv: list[str] | None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "--platform":
         # Force the JAX backend before any app import can initialize one
@@ -84,10 +95,4 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    try:
-        sys.exit(main())
-    except BrokenPipeError:
-        # e.g. ``ctgan-tpu list | head``: the reader closed the pipe; exit
-        # quietly like a well-behaved CLI instead of tracebacking.
-        sys.stderr.close()
-        sys.exit(0)
+    sys.exit(main())

@@ -36,3 +36,17 @@ def test_package_version():
     import ctgan_tpu
 
     assert ctgan_tpu.__version__ == "0.1.0"
+
+
+def test_piped_output_closes_quietly():
+    # ``ctgan-tpu list | head -1``: the reader closing the pipe must not
+    # traceback (BrokenPipeError is swallowed in main()).
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        f"{sys.executable} -m ctgan_tpu list | head -1",
+        shell=True, capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0
+    assert "Traceback" not in proc.stderr
