@@ -3,21 +3,28 @@
 The reference had no inference entry point (sampling was inlined in the
 training loops).  This app loads any GAN checkpoint written by the trainer
 apps and generates batched samples: an image grid, a raw ``.npz`` of flat
-samples, or a continuous batch-serving loop for throughput measurement.
+samples, or a continuous batch-serving loop for throughput measurement
+(``--serve_iters N``: scan-window timed like bench.py, prints one JSON
+line; ``--ckpt`` optional there — fresh-init weights run the identical
+compute).
 
     python -m ctgan_tpu.apps.generate --model cifar_resnet \
         --ckpt runs/ct_gan_cifar_resnet/ckpt/ckpt_1000.npz --n 100
+    python -m ctgan_tpu.apps.generate --model cifar_resnet \
+        --batch 1024 --serve_iters 50          # serving throughput bench
 """
 
 from __future__ import annotations
 
+import json
+import time
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import apply_context, rng_context
+from ..core import apply_context, init_context, precision_policy, rng_context
 from ..utils.checkpoint import load_checkpoint
 from .common import parse_config, save_sample_grid
 
@@ -32,59 +39,75 @@ class Config:
     out_prefix: str = "generated"
     save_npz: bool = False
     dim: int = 128
+    serve_iters: int = 0  # >0: continuous batch-serving throughput bench
+    bf16: bool = False  # bf16 compute policy for the apply (TPU MXU path;
+    #                     params stay fp32, matmul/conv operands cast)
 
 
 def _model_entry(cfg: Config):
-    """Returns (gen_call(n, key) -> flat samples, (C, H, W), value_range)."""
+    """Returns (body(n, key) -> flat samples, (C, H, W), value_range).
+
+    ``body`` expects ambient param/rng contexts (init_context to create
+    weights, apply_context to serve from a checkpoint); ``key`` only feeds
+    per-request randomness outside the rng streams (conditional labels).
+    """
     if cfg.model == "mnist":
         from ..models import dcgan
 
-        def call(params, n, key):
-            with rng_context({"default": key}):
-                with apply_context(params):
-                    return dcgan.mnist_generator(n, dim=cfg.dim if cfg.dim != 128 else 64)
+        def body(n, key):
+            return dcgan.mnist_generator(n, dim=cfg.dim if cfg.dim != 128 else 64)
 
-        return call, (1, 28, 28), (0.0, 1.0)
+        return body, (1, 28, 28), (0.0, 1.0)
     if cfg.model == "cifar":
         from ..models import dcgan
 
-        def call(params, n, key):
-            with rng_context({"default": key}):
-                with apply_context(params):
-                    return dcgan.cifar_generator(n, dim=cfg.dim)
+        def body(n, key):
+            return dcgan.cifar_generator(n, dim=cfg.dim)
 
-        return call, (3, 32, 32), (-1.0, 1.0)
+        return body, (3, 32, 32), (-1.0, 1.0)
     if cfg.model == "cifar_resnet":
         from ..models import resnet_cifar
 
         mcfg = resnet_cifar.ResnetCifarConfig(dim_g=cfg.dim, dim_d=cfg.dim)
 
-        def call(params, n, key):
-            with rng_context({"default": key}):
-                with apply_context(params):
-                    labels = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, 10)
-                    return resnet_cifar.generator(n, labels, cfg=mcfg)
+        def body(n, key):
+            labels = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, 10)
+            return resnet_cifar.generator(n, labels, cfg=mcfg)
 
-        return call, (3, 32, 32), (-1.0, 1.0)
+        return body, (3, 32, 32), (-1.0, 1.0)
     if cfg.model == "good64":
         from ..models import good64
 
-        def call(params, n, key):
-            with rng_context({"default": key}):
-                with apply_context(params):
-                    return good64.good64_generator(n, dim=cfg.dim if cfg.dim != 128 else 64)
+        def body(n, key):
+            return good64.good64_generator(n, dim=cfg.dim if cfg.dim != 128 else 64)
 
-        return call, (3, 64, 64), (-1.0, 1.0)
+        return body, (3, 64, 64), (-1.0, 1.0)
     if cfg.model == "lsun128":
         from ..models import lsun128
 
-        def call(params, n, key):
-            with rng_context({"default": key}):
-                with apply_context(params):
-                    return lsun128.lsun128_generator(n)
+        def body(n, key):
+            return lsun128.lsun128_generator(n)
 
-        return call, (3, 128, 128), (-1.0, 1.0)
+        return body, (3, 128, 128), (-1.0, 1.0)
     raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def _apply_call(body, bf16: bool = False):
+    def call(params, n, key):
+        with rng_context({"default": key}):
+            with apply_context(params):
+                with precision_policy("bfloat16" if bf16 else "float32"):
+                    return body(n, key)
+
+    return call
+
+
+def _init_gen_params(cfg: Config, body) -> dict:
+    """Fresh generator weights (serve-bench without a checkpoint)."""
+    with init_context(seed=cfg.seed) as ctx:
+        with rng_context({"default": jax.random.PRNGKey(cfg.seed)}):
+            body(2, jax.random.PRNGKey(cfg.seed))
+    return dict(ctx.params)
 
 
 def load_gen_params(ckpt_path: str) -> dict:
@@ -97,12 +120,78 @@ def load_gen_params(ckpt_path: str) -> dict:
     return {k: jnp.asarray(v) for k, v in blob.items() if hasattr(v, "shape")}
 
 
+def _serve_bench(cfg: Config, params: dict, call) -> dict:
+    """Continuous batch-serving loop, scan-window timed.
+
+    Same methodology as bench.py's training headline: K sampling requests
+    inside ONE jitted lax.scan for two window sizes, differenced — the
+    constant dispatch/readback overhead cancels, leaving pure per-batch
+    device time.  A separately timed single dispatch reports the latency
+    one synchronous serving request actually pays end to end.
+    """
+
+    def multi(params, key, k):
+        def body_fn(carry, i):
+            out = call(params, cfg.batch, jax.random.fold_in(key, i))
+            return carry + jnp.mean(out).astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(body_fn, jnp.float32(0), jnp.arange(k))
+        return total
+
+    jit_multi = jax.jit(multi, static_argnums=2)
+    key = jax.random.PRNGKey(cfg.seed)
+    k2 = max(cfg.serve_iters, 10)
+    k1 = max(2, k2 // 5)
+
+    t_c = time.perf_counter()
+    float(jit_multi(params, key, k1))  # compile + run K1
+    float(jit_multi(params, key, k2))  # compile + run K2
+    compile_s = time.perf_counter() - t_c
+
+    t0 = time.perf_counter()
+    float(jit_multi(params, key, k1))
+    t1 = time.perf_counter()
+    float(jit_multi(params, key, k2))
+    t2 = time.perf_counter()
+    sec_per_batch = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+
+    # one synchronous request end to end (dispatch + compute + readback)
+    jit_one = jax.jit(lambda p, k: call(p, cfg.batch, k))
+    jit_one(params, key).block_until_ready()  # compile
+    t3 = time.perf_counter()
+    jit_one(params, jax.random.fold_in(key, 7)).block_until_ready()
+    latency_s = time.perf_counter() - t3
+
+    result = {
+        "metric": f"{cfg.model}_gen_samples_per_sec_per_chip",
+        "value": round(cfg.batch / sec_per_batch, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,  # reference has no inference entry point
+        "batch": cfg.batch,
+        "sec_per_batch": round(sec_per_batch, 6),
+        "request_latency_sec": round(latency_s, 4),
+        "timing": f"scan-window diff ({k2}-{k1} requests), overhead-cancelling",
+        "compile_sec": round(compile_s, 1),
+        "params": "checkpoint" if cfg.ckpt else "fresh-init (identical compute)",
+        "bf16": cfg.bf16,
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
+    body, chw, vrange = _model_entry(cfg)
+    call = _apply_call(body, bf16=cfg.bf16)
+
+    if cfg.serve_iters > 0:
+        params = load_gen_params(cfg.ckpt) if cfg.ckpt else _init_gen_params(cfg, body)
+        return _serve_bench(cfg, params, call)
+
     if not cfg.ckpt:
         raise SystemExit("--ckpt required")
     params = load_gen_params(cfg.ckpt)
-    call, chw, vrange = _model_entry(cfg)
     jit_call = jax.jit(call, static_argnums=1)
 
     outs = []
