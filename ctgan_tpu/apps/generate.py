@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core import apply_context, init_context, precision_policy, rng_context
 from ..utils.checkpoint import load_checkpoint
-from .common import parse_config, save_sample_grid
+from .common import maybe_mesh, parse_config, save_sample_grid
 
 
 @dataclass(frozen=True)
@@ -120,6 +120,28 @@ def load_gen_params(ckpt_path: str) -> dict:
     return {k: jnp.asarray(v) for k, v in blob.items() if hasattr(v, "shape")}
 
 
+def _mesh_setup(params: dict):
+    """Multi-chip serving: replicate weights, shard the batch over 'data'.
+
+    Returns (params, mesh) — mesh is None single-device.  The generator is
+    small enough to replicate everywhere; SPMD partitions each request's
+    batch across the mesh (BN batch stats become ICI collectives).
+    """
+    mesh = maybe_mesh()
+    if mesh is None:
+        return params, None
+    from ..parallel import replicated
+
+    params = {k: jax.device_put(v, replicated(mesh)) for k, v in params.items()}
+    return params, mesh
+
+
+def _batch_sharded(mesh, out):
+    from ..parallel import data_sharding
+
+    return jax.lax.with_sharding_constraint(out, data_sharding(mesh, 0, out.ndim))
+
+
 def _serve_bench(cfg: Config, params: dict, call) -> dict:
     """Continuous batch-serving loop, scan-window timed.
 
@@ -129,10 +151,17 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
     device time.  A separately timed single dispatch reports the latency
     one synchronous serving request actually pays end to end.
     """
+    params, mesh = _mesh_setup(params)
+    if mesh is not None and cfg.batch % mesh.shape["data"]:
+        raise SystemExit(
+            f"--batch {cfg.batch} must divide the {mesh.shape['data']}-way data axis"
+        )
 
     def multi(params, key, k):
         def body_fn(carry, i):
             out = call(params, cfg.batch, jax.random.fold_in(key, i))
+            if mesh is not None:
+                out = _batch_sharded(mesh, out)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         total, _ = jax.lax.scan(body_fn, jnp.float32(0), jnp.arange(k))
@@ -156,7 +185,12 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
     sec_per_batch = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
 
     # one synchronous request end to end (dispatch + compute + readback)
-    jit_one = jax.jit(lambda p, k: call(p, cfg.batch, k))
+    one_kwargs = {}
+    if mesh is not None:
+        from ..parallel import data_sharding
+
+        one_kwargs["out_shardings"] = data_sharding(mesh, 0, 2)
+    jit_one = jax.jit(lambda p, k: call(p, cfg.batch, k), **one_kwargs)
     jit_one(params, key).block_until_ready()  # compile
     t3 = time.perf_counter()
     jit_one(params, jax.random.fold_in(key, 7)).block_until_ready()
@@ -175,6 +209,7 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
         "params": "checkpoint" if cfg.ckpt else "fresh-init (identical compute)",
         "bf16": cfg.bf16,
         "device": jax.devices()[0].device_kind,
+        "n_devices": 1 if mesh is None else int(mesh.devices.size),
     }
     print(json.dumps(result))
     return result
@@ -191,14 +226,24 @@ def main(argv=None, cfg: Config | None = None):
 
     if not cfg.ckpt:
         raise SystemExit("--ckpt required")
-    params = load_gen_params(cfg.ckpt)
-    jit_call = jax.jit(call, static_argnums=1)
+    params, mesh = _mesh_setup(load_gen_params(cfg.ckpt))
+    jit_plain = jax.jit(call, static_argnums=1)
+    jit_sharded = jit_plain
+    ndev = 1
+    if mesh is not None:
+        from ..parallel import data_sharding
+
+        ndev = mesh.shape["data"]
+        jit_sharded = jax.jit(call, static_argnums=1,
+                              out_shardings=data_sharding(mesh, 0, 2))
 
     outs = []
     for i in range(0, cfg.n, cfg.batch):
         n = min(cfg.batch, cfg.n - i)
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), i)
-        outs.append(np.asarray(jit_call(params, n, key)))
+        # ragged tail batches fall back to the unsharded program
+        fn = jit_sharded if n % ndev == 0 else jit_plain
+        outs.append(np.asarray(fn(params, n, key)))
     samples = np.concatenate(outs)[: cfg.n]
 
     grid_path = f"{cfg.out_prefix}.png"
