@@ -41,6 +41,9 @@ class Config:
     prediction_decay: float = 0.6   # CT_CIFAR-10_TE.py:23
     LAMBDA_2: float = 1.0           # TE variant weight (TE:22); plain uses fixed weights
     factor_M: float = 0.0
+    allow_fresh_start: bool = False  # required to train from scratch in an
+                                     # out_dir whose log.pkl shows progress
+                                     # (utils/resume.py fresh-start guard)
     chunk: int = 1                  # batches per device dispatch; raise (e.g.
                                     # 25) on TPU to amortize dispatch latency.
                                     # Default 1: scanning this conv step
@@ -195,15 +198,27 @@ def main(argv=None, cfg: Config | None = None):
     # epoch-level crash/resume: full (state, TE buffers, epoch) saved each
     # epoch; per-epoch permutations derive from (seed, epoch) so resumed
     # runs replay the exact data order with no generator fast-forward
-    # (supersedes train_loop_2.py:123-139's replay approach).
+    # (supersedes train_loop_2.py:123-139's replay approach).  When the full
+    # state is gone but the tracked params + log.pkl survive (round-4 data
+    # loss incident), resume APPROXIMATELY: params exact, epoch from the
+    # log, optimizer/EMA/ensembles re-warmed (utils/resume.py).
     from ..train.trainer_semisup import SslState
+    from ..utils.resume import guard_fresh_start, reap_stale_tmps, resolve_ssl_resume
 
+    reap_stale_tmps(out_dir)
     ckpt_path = f"{out_dir}/ssl_state.npz"
-    start_epoch = 0
+    mode, start_epoch, blob = resolve_ssl_resume(
+        out_dir, ckpt_path, allow_fresh_start=cfg.allow_fresh_start
+    )
+    # epoch at which the TE ensemble buffers began accumulating — the EMA
+    # bias correction 1-decay^k counts updates SINCE this epoch, so a
+    # re-warmed ensemble replays the reference's epoch-0 warmup transient
+    # (CT_CIFAR-10_TE.py:305-309) instead of dividing ~zero by ~one.
+    ens_base = 0
     import os as _os
 
-    if _os.path.exists(ckpt_path):
-        saved = load_checkpoint(ckpt_path)
+    if mode == "exact":
+        saved = blob
         state = SslState(**{
             k: (jax.tree.map(jnp.asarray, saved["state"][k])
                 if k != "step" else jnp.asarray(saved["state"][k]))
@@ -213,9 +228,34 @@ def main(argv=None, cfg: Config | None = None):
         ensemble2 = np.asarray(saved["ensemble2"])
         targets_np = np.asarray(saved["targets"])
         targets2_np = np.asarray(saved["targets2"])
-        start_epoch = int(saved["epoch"]) + 1
+        ens_base = int(saved.get("ens_base", 0))
         logger.set_iteration(start_epoch)  # absolute epoch labels post-resume
         print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+    elif mode == "approx":
+        disc_path, gen_path = blob
+        disc = {k: jnp.asarray(v) for k, v in load_checkpoint(disc_path).items()}
+        gen = {k: jnp.asarray(v) for k, v in load_checkpoint(gen_path).items()}
+        state = init_state(disc, gen)
+        avg_path = f"{out_dir}/avg_params.npz"
+        avg = (
+            {k: jnp.asarray(v) for k, v in load_checkpoint(avg_path).items()}
+            if _os.path.exists(avg_path)
+            # no tracked EMA snapshot: seed the test-path average at the
+            # current params (the 0-init of CT_MNIST.py:104 would need
+            # ~2/ema_rate steps to recover)
+            else jax.tree.map(jnp.array, disc)
+        )
+        state = state._replace(avg_params=avg)
+        ens_base = start_epoch
+        logger.set_iteration(start_epoch)
+        print(
+            f"resumed (approximate) from {disc_path} + log.pkl at epoch "
+            f"{start_epoch}: params exact, optimizer/ensemble re-warmed"
+        )
+    else:
+        guard_fresh_start(
+            out_dir, 0, allow_fresh_start=cfg.allow_fresh_start, unit="epoch"
+        )
 
     # Hang detection for the tunneled chip: one beat per epoch; a wedged
     # runtime call exits the process so the queue retries and the exact
@@ -297,14 +337,16 @@ def main(argv=None, cfg: Config | None = None):
             nr_batches_eff = max(n_calls, 1)
 
             if cfg.temporal_ensembling:
-                # bias-corrected EMA target update (TE:305-309)
+                # bias-corrected EMA target update (TE:305-309); the update
+                # count is epochs since the ensemble started accumulating
+                # (== epoch unless this leg resumed approximately)
                 ensemble, targets_np = map(np.asarray, ema_targets_update(
-                    jnp.asarray(ensemble), jnp.asarray(epoch_preds), epoch,
-                    decay=cfg.prediction_decay,
+                    jnp.asarray(ensemble), jnp.asarray(epoch_preds),
+                    epoch - ens_base, decay=cfg.prediction_decay,
                 ))
                 ensemble2, targets2_np = map(np.asarray, ema_targets_update(
-                    jnp.asarray(ensemble2), jnp.asarray(epoch_preds2), epoch,
-                    decay=cfg.prediction_decay,
+                    jnp.asarray(ensemble2), jnp.asarray(epoch_preds2),
+                    epoch - ens_base, decay=cfg.prediction_decay,
                 ))
 
             if cfg.epoch_scan:
@@ -321,11 +363,15 @@ def main(argv=None, cfg: Config | None = None):
             logger.flush()
             save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
             save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+            # small tracked EMA snapshot so an approximate resume restores
+            # the test path exactly (disc/gen/avg params survive round
+            # boundaries in git; ssl_state.npz does not)
+            save_checkpoint(f"{out_dir}/avg_params.npz", state.avg_params)
             save_checkpoint(ckpt_path, {
                 "state": state._asdict(),
                 "ensemble": ensemble, "ensemble2": ensemble2,
                 "targets": targets_np, "targets2": targets2_np,
-                "epoch": epoch,
+                "epoch": epoch, "ens_base": ens_base,
             })
             watchdog.beat()
     finally:

@@ -49,6 +49,8 @@ class Config:
     ITERS: int = 200000
     DATA_DIR: str = ""
     seed: int = 0
+    allow_fresh_start: bool = False  # train from scratch in an out_dir whose
+                                     # log.pkl shows progress (utils/resume.py)
     out_dir: str = "runs/ct_gan_64x64"
     sample_every: int = 200
     save_every: int = 1000
@@ -218,6 +220,7 @@ def main(argv=None, cfg: Config | None = None):
     lcfg = LoopConfig(
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+        allow_fresh_start=cfg.allow_fresh_start,
     )
     kw = {}
     if data_state is not None:

@@ -72,6 +72,8 @@ class Config:
                                  # the TP-safe unfused step (see
                                  # docs/XLA_GSPMD_SCAN_BUG.md)
     seed: int = 0
+    allow_fresh_start: bool = False  # train from scratch in an out_dir whose
+                                     # log.pkl shows progress (utils/resume.py)
     out_dir: str = "runs/ct_gan_cifar_resnet"
     inception_samples: int = 50000
     sample_every: int = 100
@@ -224,6 +226,7 @@ def main(argv=None, cfg: Config | None = None):
     lcfg = LoopConfig(
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+        allow_fresh_start=cfg.allow_fresh_start,
         keep_checkpoints=5, jit_step=not tp,
     )
     ctx_mgr = mesh if mesh is not None else _nullcontext()

@@ -35,6 +35,8 @@ class Config:
     ITERS: int = 50000
     n_examples: int = 1000
     seed: int = 0
+    allow_fresh_start: bool = False  # train from scratch in an out_dir whose
+                                     # log.pkl shows progress (utils/resume.py)
     out_dir: str = "runs/ct_gan_mnist"
     save_every: int = 1000
     sample_every: int = 100
@@ -109,6 +111,7 @@ def main(argv=None, cfg: Config | None = None):
     lcfg = LoopConfig(
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+        allow_fresh_start=cfg.allow_fresh_start,
     )
     state = train_loop(
         state, fused_step, next_batch, jax.random.PRNGKey(cfg.seed), lcfg,

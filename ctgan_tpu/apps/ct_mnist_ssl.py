@@ -42,6 +42,8 @@ class Config:
     learning_rate: float = 0.003
     LAMBDA_2: float = 0.1       # CT_MNIST.py:15
     factor_M: float = 0.0
+    allow_fresh_start: bool = False  # required to train from scratch in an
+                                     # out_dir whose log.pkl shows progress
     epoch_scan: bool = False    # ONE dispatch per epoch (see module doc)
     out_dir: str = "runs/ct_mnist_ssl"
 
@@ -146,18 +148,45 @@ def main(argv=None, cfg: Config | None = None):
     # permutations make the resumed order exact in either execution mode
     from ..train.trainer_semisup import SslState
 
+    from ..utils.resume import guard_fresh_start, reap_stale_tmps, resolve_ssl_resume
+
+    reap_stale_tmps(out_dir)
     ckpt_path = f"{out_dir}/ssl_state.npz"
-    start_epoch = 0
-    if os.path.exists(ckpt_path):
-        saved = load_checkpoint(ckpt_path)
+    mode, start_epoch, blob = resolve_ssl_resume(
+        out_dir, ckpt_path, allow_fresh_start=cfg.allow_fresh_start
+    )
+    if mode == "exact":
+        saved = blob
         state = SslState(**{
             k: (jax.tree.map(jnp.asarray, saved["state"][k])
                 if k != "step" else jnp.asarray(saved["state"][k]))
             for k in SslState._fields
         })
-        start_epoch = int(saved["epoch"]) + 1
         logger.set_iteration(start_epoch)  # absolute epoch labels post-resume
         print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+    elif mode == "approx":
+        # full state lost (round-boundary clean): params restored exactly
+        # from the tracked files, optimizer/EMA re-warmed (utils/resume.py)
+        disc_path, gen_path = blob
+        disc = {k: jnp.asarray(v) for k, v in load_checkpoint(disc_path).items()}
+        gen = {k: jnp.asarray(v) for k, v in load_checkpoint(gen_path).items()}
+        state = init_state(disc, gen)
+        avg_path = f"{out_dir}/avg_params.npz"
+        avg = (
+            {k: jnp.asarray(v) for k, v in load_checkpoint(avg_path).items()}
+            if os.path.exists(avg_path)
+            else jax.tree.map(jnp.array, disc)
+        )
+        state = state._replace(avg_params=avg)
+        logger.set_iteration(start_epoch)
+        print(
+            f"resumed (approximate) from {disc_path} + log.pkl at epoch "
+            f"{start_epoch}: params exact, optimizer/EMA re-warmed"
+        )
+    else:
+        guard_fresh_start(
+            out_dir, 0, allow_fresh_start=cfg.allow_fresh_start, unit="epoch"
+        )
 
     def stack(arr, idx, t0, t1):
         sel = idx[t0 * bs : t1 * bs]
@@ -218,6 +247,7 @@ def main(argv=None, cfg: Config | None = None):
             logger.flush()
             save_checkpoint(f"{out_dir}/disc_params.npz", state.disc_params)
             save_checkpoint(f"{out_dir}/gen_params.npz", state.gen_params)
+            save_checkpoint(f"{out_dir}/avg_params.npz", state.avg_params)
             save_checkpoint(ckpt_path, {"state": state._asdict(), "epoch": epoch})
             watchdog.beat()
     finally:

@@ -191,7 +191,9 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
 
         one_kwargs["out_shardings"] = data_sharding(mesh, 0, 2)
     jit_one = jax.jit(lambda p, k: call(p, cfg.batch, k), **one_kwargs)
+    t_oc = time.perf_counter()
     jit_one(params, key).block_until_ready()  # compile
+    one_compile_s = time.perf_counter() - t_oc
     t3 = time.perf_counter()
     jit_one(params, jax.random.fold_in(key, 7)).block_until_ready()
     latency_s = time.perf_counter() - t3
@@ -206,6 +208,13 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
         "request_latency_sec": round(latency_s, 4),
         "timing": f"scan-window diff ({k2}-{k1} requests), overhead-cancelling",
         "compile_sec": round(compile_s, 1),
+        # the cold-start a production serving process actually pays: ONE
+        # batch-shaped program, not the K-request bench scan.  With the
+        # persistent compilation cache (utils/compile_cache.py — the axon
+        # backend serializes executables; verified by the jit_multi/
+        # jit_epoch_scan_fn entries its chip runs wrote), a second process
+        # pays only deserialization here.
+        "request_compile_sec": round(one_compile_s, 1),
         "params": "checkpoint" if cfg.ckpt else "fresh-init (identical compute)",
         "bf16": cfg.bf16,
         "device": jax.devices()[0].device_kind,
@@ -217,6 +226,12 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
 
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
+    # parse_config enables the persistent compile cache for CLI invocations;
+    # programmatic main(cfg=...) callers (tests, notebooks) get it here so a
+    # serving process never pays a compile another process already did
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     body, chw, vrange = _model_entry(cfg)
     call = _apply_call(body, bf16=cfg.bf16)
 

@@ -52,6 +52,8 @@ class Config:
                                  # adoption bar, stays OFF here
                                  # (runs/queue_r5a.log mpf_ab)
     seed: int = 0
+    allow_fresh_start: bool = False  # train from scratch in an out_dir whose
+                                     # log.pkl shows progress (utils/resume.py)
     out_dir: str = "runs/wgan_lsun128"
     sample_every: int = 200
     save_every: int = 1000
@@ -138,6 +140,7 @@ def main(argv=None, cfg: Config | None = None):
     lcfg = LoopConfig(
         iters=cfg.ITERS, print_every=100, test_every=cfg.sample_every,
         save_every=cfg.save_every, ckpt_dir=f"{out_dir}/ckpt",
+        allow_fresh_start=cfg.allow_fresh_start,
     )
     kw = {}
     if data_state is not None:

@@ -77,6 +77,9 @@ class LoopConfig:
     print_every_secs: float | None = None  # v1-style wall-clock cadence
     save_every_secs: float | None = None
     keep_checkpoints: int | None = None    # prune to the newest N (None = all)
+    allow_fresh_start: bool = False  # train from scratch in an out_dir whose
+                                     # log.pkl shows prior progress (guarded
+                                     # otherwise; utils/resume.py)
     jit_step: bool = True            # False when step_fn is already composed
                                      # of jitted substeps (TP-safe unfused
                                      # mode, train.make_unfused_step) — re-
@@ -107,6 +110,15 @@ def train_loop(
         if cfg.jit_step else step_fn
     )
 
+    from ..utils.resume import guard_fresh_start, reap_stale_tmps
+
+    out_dir = logger.out_dir
+    if out_dir:
+        reap_stale_tmps(out_dir)
+    if cfg.ckpt_dir:
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        reap_stale_tmps(cfg.ckpt_dir)
+
     start_iter = 0
     if cfg.resume and cfg.ckpt_dir:
         path = latest_checkpoint(cfg.ckpt_dir)
@@ -117,6 +129,42 @@ def train_loop(
             if set_data_state and blob.get("data_state"):
                 set_data_state(blob["data_state"])
             print(f"resumed from {path} at iteration {start_iter}")
+
+    # Durable fallback: the full ckpt_N.npz files are big and may not
+    # survive a round boundary, but the small params_latest.npz written
+    # alongside them into out_dir does (it is git-trackable).  Restore
+    # params exactly and the iteration counter from it; optimizer moments
+    # re-warm from zero (an Adam transient of ~1/(1-beta2) steps) and the
+    # LR schedule continues from the true step (utils/resume.py).
+    params_path = os.path.join(out_dir, "params_latest.npz") if out_dir else None
+    if (
+        cfg.resume and start_iter == 0 and params_path
+        and os.path.exists(params_path) and hasattr(state, "_fields")
+    ):
+        blob = load_checkpoint(params_path)
+        it = int(blob["iteration"])
+        fields = {
+            k: jax.tree.map(jnp.asarray, v)
+            for k, v in blob["params"].items()
+            if k in state._fields
+        }
+        state = state._replace(**fields)
+        if "step" in state._fields:
+            state = state._replace(step=jnp.asarray(it, state.step.dtype))
+        start_iter = it
+        print(
+            f"resumed (approximate) from {params_path} at iteration {it}: "
+            f"params exact, optimizer re-warmed"
+        )
+
+    if out_dir and cfg.ckpt_dir:
+        # logs flush more often than checkpoints, so a legitimate resume can
+        # trail the log by up to one save interval
+        guard_fresh_start(
+            out_dir, start_iter,
+            allow_fresh_start=cfg.allow_fresh_start,
+            tolerance=cfg.save_every or 1000,
+        )
 
     logger.set_iteration(start_iter)
     timer = StepTimer()
@@ -212,6 +260,19 @@ def _train_iterations(
             save_checkpoint(os.path.join(cfg.ckpt_dir, f"ckpt_{iteration + 1}.npz"), blob)
             if cfg.keep_checkpoints:
                 _prune_checkpoints(cfg.ckpt_dir, cfg.keep_checkpoints)
+            # small durable params snapshot in out_dir (git-trackable) — the
+            # approximate-resume source when the full ckpt dir is lost
+            if logger.out_dir and hasattr(state, "_fields"):
+                save_checkpoint(
+                    os.path.join(logger.out_dir, "params_latest.npz"),
+                    {
+                        "params": {
+                            k: getattr(state, k)
+                            for k in state._fields if k.endswith("_params")
+                        },
+                        "iteration": iteration + 1,
+                    },
+                )
 
         print_now = (
             iteration < cfg.print_first

@@ -51,6 +51,45 @@ class MetricLogger:
                             self._history[name].update(series)
                 except Exception:
                     pass  # unreadable/corrupt old pickle: start clean
+            self._backfill_ndjson()
+
+    def _backfill_ndjson(self) -> None:
+        """Rebuild ``log.ndjson`` from the pickle history when it is missing
+        or behind.
+
+        ``log.ndjson`` is the pandas-facing artifact but only ``log.pkl`` is
+        git-tracked; a round-boundary clean can delete the ndjson while the
+        pickle survives (round-4 TE incident: the ndjson held only the last
+        leg's 69 rows while the pickle held the full mixed history).  When the
+        pickle proves more iterations than the ndjson records, rewrite the
+        ndjson from history — backfilled rows carry ``"backfilled": true``
+        and no ``wall_time`` (wall clocks are not reconstructible)."""
+        if not self._history:
+            return
+        hist_max = max(max(s) for s in self._history.values() if s)
+        path = os.path.join(self.out_dir, "log.ndjson")
+        nd_max = -1
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line:
+                            nd_max = max(nd_max, int(json.loads(line)["iteration"]))
+            except Exception:
+                nd_max = -1  # corrupt ndjson: rebuild it
+        if nd_max >= hist_max:
+            return
+        iters = sorted({i for s in self._history.values() for i in s})
+        with open(path, "w") as f:
+            for it in iters:
+                row: dict = {"iteration": it, "backfilled": True}
+                for name, series in sorted(self._history.items()):
+                    if it in series:
+                        row[name] = series[it]
+                f.write(json.dumps(row) + "\n")
+        print(f"backfilled {path} from log.pkl ({len(iters)} rows to "
+              f"iteration {hist_max}; ndjson had {nd_max})")
 
     # -- reference API (tflib/plot.py:15-41) ------------------------------
     def plot(self, name: str, value) -> None:
