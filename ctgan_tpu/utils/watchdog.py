@@ -15,9 +15,15 @@ SSL epoch-scan mode); if no beat lands for ``deadline`` seconds the thread
 dumps every Python thread's stack to stderr (so the wedged frame is visible
 in the leg's log) and ``os._exit``\\ s with ``EXIT_CODE``.
 
-Deadline source: ``$CTGAN_STEP_TIMEOUT`` seconds, default 1800 — far above
-any measured legitimate gap (largest first-compile on record: 460 s for the
-bench program; IS evals: ~60 s) but a fraction of a queue leg's budget.
+Deadlines are two-phase, because the legitimate-gap distribution is: the
+FIRST step of a process may include a cold XLA compile (largest on record:
+460 s for the bench program; budgeted generously), while every later gap
+is a step/epoch plus at most an IS eval (~60 s) or a checkpoint write.
+``$CTGAN_STEP_TIMEOUT`` (default 900) bounds the steady-state gap after
+the first beat; ``$CTGAN_STEP_TIMEOUT_FIRST`` (default max(steady, 1800))
+bounds process start → first beat.  Observed on hardware 2026-08-20 (TE
+legs wedging ~every 30 min): the flat 1800 s deadline made each wedge
+cost 30 min of queue budget; the steady-state phase halves that.
 ``CTGAN_STEP_TIMEOUT=0`` disables.  (The reference has no analogue; its
 failure story is tflib/train_loop_2.py's resume-on-restart, which this
 repo already matches — the watchdog closes the *detection* half.)
@@ -36,11 +42,11 @@ __all__ = ["StepWatchdog", "EXIT_CODE"]
 EXIT_CODE = 3  # distinct from timeout(1)'s 124: queue runners retry on it
 
 
-def _deadline_from_env() -> float:
+def _env_float(name: str, default: float) -> float:
     try:
-        return float(os.environ.get("CTGAN_STEP_TIMEOUT", "1800"))
+        return float(os.environ.get(name, default))
     except ValueError:
-        return 1800.0
+        return default
 
 
 class StepWatchdog:
@@ -61,20 +67,29 @@ class StepWatchdog:
     """
 
     def __init__(self, deadline: float, name: str = "train",
-                 poll: float | None = None, _exit=os._exit):
+                 poll: float | None = None, _exit=os._exit,
+                 first_deadline: float | None = None):
         self.deadline = float(deadline)
+        # pre-first-beat window (covers a cold compile); defaults to the
+        # steady deadline so direct constructions behave single-phase
+        self.first_deadline = (
+            float(first_deadline) if first_deadline is not None
+            else self.deadline
+        )
         self.name = name
         self._exit = _exit
         self._poll = poll if poll is not None else min(30.0, self.deadline / 4)
         self._last = time.monotonic()
+        self._beaten = False
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
     # -- lifecycle -----------------------------------------------------
     @classmethod
     def start_from_env(cls, name: str = "train") -> "StepWatchdog":
-        deadline = _deadline_from_env()
-        wd = cls(deadline, name=name)
+        deadline = _env_float("CTGAN_STEP_TIMEOUT", 900.0)
+        first = _env_float("CTGAN_STEP_TIMEOUT_FIRST", max(deadline, 1800.0))
+        wd = cls(deadline, name=name, first_deadline=first)
         if deadline > 0:
             wd.start()
         return wd
@@ -88,6 +103,7 @@ class StepWatchdog:
 
     def beat(self) -> None:
         self._last = time.monotonic()
+        self._beaten = True
 
     def stop(self) -> None:
         self._stop.set()
@@ -98,15 +114,17 @@ class StepWatchdog:
     # -- internals -----------------------------------------------------
     def _run(self) -> None:
         while not self._stop.wait(self._poll):
+            limit = self.deadline if self._beaten else self.first_deadline
             quiet = time.monotonic() - self._last
-            if quiet >= self.deadline:
-                self._fire(quiet)
+            if quiet >= limit:
+                self._fire(quiet, limit)
                 return
 
-    def _fire(self, quiet: float) -> None:
+    def _fire(self, quiet: float, limit: float | None = None) -> None:
         sys.stderr.write(
             f"StepWatchdog[{self.name}]: no step progress for {quiet:.0f}s "
-            f"(deadline {self.deadline:.0f}s) — assuming a wedged runtime "
+            f"(deadline {self.deadline if limit is None else limit:.0f}s) "
+            f"— assuming a wedged runtime "
             f"call; dumping thread stacks and exiting {EXIT_CODE} so the "
             f"queue retries from the last checkpoint.\n"
         )

@@ -49,6 +49,43 @@ def test_stop_wins_over_fire():
     assert exits == []
 
 
+def test_two_phase_first_window_tolerates_compile():
+    """Before the first beat (a cold compile) the long first_deadline
+    applies; after one beat the short steady deadline takes over."""
+    exits = []
+    wd = StepWatchdog(deadline=0.2, poll=0.05, first_deadline=10.0,
+                      _exit=exits.append)
+    wd.start()
+    try:
+        time.sleep(0.5)          # well past steady deadline, no beat yet
+        assert exits == []       # first window still open
+        wd.beat()                # "first step done"
+        deadline = time.time() + 5
+        while not exits and time.time() < deadline:
+            time.sleep(0.05)     # now the steady 0.2 s deadline fires
+    finally:
+        wd.stop()
+    assert exits == [EXIT_CODE]
+
+
+def test_env_defaults_two_phase(monkeypatch):
+    monkeypatch.delenv("CTGAN_STEP_TIMEOUT", raising=False)
+    monkeypatch.delenv("CTGAN_STEP_TIMEOUT_FIRST", raising=False)
+    wd = StepWatchdog.start_from_env(name="defaults")
+    try:
+        assert wd.deadline == 900.0
+        assert wd.first_deadline == 1800.0
+    finally:
+        wd.stop()
+    monkeypatch.setenv("CTGAN_STEP_TIMEOUT", "2400")
+    wd = StepWatchdog.start_from_env(name="steady-above-first")
+    try:
+        # first window never undercuts the steady deadline
+        assert wd.first_deadline == 2400.0
+    finally:
+        wd.stop()
+
+
 def test_disabled_by_env_is_noop(monkeypatch):
     monkeypatch.setenv("CTGAN_STEP_TIMEOUT", "0")
     wd = StepWatchdog.start_from_env(name="off")
