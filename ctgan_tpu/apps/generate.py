@@ -12,6 +12,17 @@ compute).
         --ckpt runs/ct_gan_cifar_resnet/ckpt/ckpt_1000.npz --n 100
     python -m ctgan_tpu.apps.generate --model cifar_resnet \
         --batch 1024 --serve_iters 50          # serving throughput bench
+
+Cold-start story (utils/aot.py): ``--aot_save art.jaxexec`` compiles the
+single-request program once and ships it as a weight-independent file;
+``--aot art.jaxexec`` then serves any checkpoint with ZERO compilation —
+the artifact complements the persistent compile cache (same machine) by
+being explicitly deployable (any machine of the same device kind).
+
+    python -m ctgan_tpu.apps.generate --model cifar_resnet \
+        --batch 1024 --aot_save flagship_b1024.jaxexec
+    python -m ctgan_tpu.apps.generate --model cifar_resnet --ckpt ... \
+        --batch 1024 --aot flagship_b1024.jaxexec --serve_iters 50
 """
 
 from __future__ import annotations
@@ -42,6 +53,9 @@ class Config:
     serve_iters: int = 0  # >0: continuous batch-serving throughput bench
     bf16: bool = False  # bf16 compute policy for the apply (TPU MXU path;
     #                     params stay fp32, matmul/conv operands cast)
+    aot_save: str = ""  # write an AOT-compiled serving executable here
+    aot: str = ""  # serve from an AOT artifact (zero-compile cold start)
+    aot_strict: bool = True  # refuse env-mismatched artifacts (utils/aot.py)
 
 
 def _model_entry(cfg: Config):
@@ -224,6 +238,73 @@ def _serve_bench(cfg: Config, params: dict, call) -> dict:
     return result
 
 
+def _aot_save(cfg: Config, params: dict, call) -> dict:
+    """Compile the canonical single-request program and ship it as a file.
+
+    The artifact is weight-independent (params are a runtime input): one
+    save serves every later checkpoint of this model at this batch shape.
+    See utils/aot.py for the environment-validation story.
+    """
+    from ..utils.aot import save_aot
+
+    key = jax.random.PRNGKey(cfg.seed)
+    t0 = time.perf_counter()
+    compiled = jax.jit(lambda p, k: call(p, cfg.batch, k)).lower(params, key).compile()
+    compile_s = time.perf_counter() - t0
+    meta = save_aot(cfg.aot_save, compiled,
+                    meta={"model": cfg.model, "batch": cfg.batch,
+                          "bf16": cfg.bf16, "dim": cfg.dim})
+    result = {"aot_path": cfg.aot_save, "compile_sec": round(compile_s, 1),
+              **meta}
+    print(json.dumps(result))
+    return result
+
+
+def _aot_serve_bench(cfg: Config, params: dict) -> dict:
+    """Serving bench on a deserialized AOT executable: zero compile.
+
+    Throughput is measured over ``serve_iters`` dispatch-pipelined
+    requests (block only on the last — how an async serving frontend
+    drives a chip); latency over one fully synchronous request.
+    """
+    from ..utils.aot import load_aot
+
+    serve, meta = load_aot(cfg.aot, strict=cfg.aot_strict)
+    key = jax.random.PRNGKey(cfg.seed)
+    serve(params, key).block_until_ready()  # warm (page-in, no compile)
+
+    k = max(cfg.serve_iters, 10)
+    t0 = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = serve(params, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    sec_per_batch = (time.perf_counter() - t0) / k
+    t1 = time.perf_counter()
+    serve(params, jax.random.fold_in(key, k + 1)).block_until_ready()
+    latency_s = time.perf_counter() - t1
+
+    result = {
+        "metric": f"{cfg.model}_gen_samples_per_sec_per_chip",
+        "value": round(cfg.batch / sec_per_batch, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,  # reference has no inference entry point
+        "batch": cfg.batch,
+        "sec_per_batch": round(sec_per_batch, 6),
+        "request_latency_sec": round(latency_s, 4),
+        "timing": f"aot pipelined ({k} requests)",
+        "compile_sec": 0.0,
+        "request_compile_sec": round(meta["load_sec"], 3),  # deserialization
+        "aot": cfg.aot,
+        "params": "checkpoint" if cfg.ckpt else "fresh-init (identical compute)",
+        "bf16": cfg.bf16,
+        "device": jax.devices()[0].device_kind,
+        "n_devices": 1,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse_config(Config, argv)
     # parse_config enables the persistent compile cache for CLI invocations;
@@ -235,6 +316,16 @@ def main(argv=None, cfg: Config | None = None):
     body, chw, vrange = _model_entry(cfg)
     call = _apply_call(body, bf16=cfg.bf16)
 
+    if (cfg.aot or cfg.aot_save) and maybe_mesh() is not None:
+        raise SystemExit("AOT serving artifacts are single-device; multi-chip "
+                         "serving uses jit + the persistent compile cache")
+    if cfg.aot_save:
+        params = load_gen_params(cfg.ckpt) if cfg.ckpt else _init_gen_params(cfg, body)
+        return _aot_save(cfg, params, call)
+    if cfg.aot and cfg.serve_iters > 0:
+        params = load_gen_params(cfg.ckpt) if cfg.ckpt else _init_gen_params(cfg, body)
+        return _aot_serve_bench(cfg, params)
+
     if cfg.serve_iters > 0:
         params = load_gen_params(cfg.ckpt) if cfg.ckpt else _init_gen_params(cfg, body)
         return _serve_bench(cfg, params, call)
@@ -242,24 +333,40 @@ def main(argv=None, cfg: Config | None = None):
     if not cfg.ckpt:
         raise SystemExit("--ckpt required")
     params, mesh = _mesh_setup(load_gen_params(cfg.ckpt))
-    jit_plain = jax.jit(call, static_argnums=1)
-    jit_sharded = jit_plain
-    ndev = 1
-    if mesh is not None:
-        from ..parallel import data_sharding
 
-        ndev = mesh.shape["data"]
-        jit_sharded = jax.jit(call, static_argnums=1,
-                              out_shardings=data_sharding(mesh, 0, 2))
+    if cfg.aot:
+        # Zero-compile path: every request runs the fixed batch-shaped
+        # executable; ragged tails are padded then sliced (one extra
+        # batch of compute beats one extra compile in a serving process).
+        from ..utils.aot import load_aot
 
-    outs = []
-    for i in range(0, cfg.n, cfg.batch):
-        n = min(cfg.batch, cfg.n - i)
-        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), i)
-        # ragged tail batches fall back to the unsharded program
-        fn = jit_sharded if n % ndev == 0 else jit_plain
-        outs.append(np.asarray(fn(params, n, key)))
-    samples = np.concatenate(outs)[: cfg.n]
+        serve, meta = load_aot(cfg.aot, strict=cfg.aot_strict)
+        print(f"aot: loaded {cfg.aot} in {meta['load_sec']}s (zero compile)")
+        outs = []
+        for i in range(0, cfg.n, cfg.batch):
+            n = min(cfg.batch, cfg.n - i)
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), i)
+            outs.append(np.asarray(serve(params, key))[:n])
+        samples = np.concatenate(outs)[: cfg.n]
+    else:
+        jit_plain = jax.jit(call, static_argnums=1)
+        jit_sharded = jit_plain
+        ndev = 1
+        if mesh is not None:
+            from ..parallel import data_sharding
+
+            ndev = mesh.shape["data"]
+            jit_sharded = jax.jit(call, static_argnums=1,
+                                  out_shardings=data_sharding(mesh, 0, 2))
+
+        outs = []
+        for i in range(0, cfg.n, cfg.batch):
+            n = min(cfg.batch, cfg.n - i)
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), i)
+            # ragged tail batches fall back to the unsharded program
+            fn = jit_sharded if n % ndev == 0 else jit_plain
+            outs.append(np.asarray(fn(params, n, key)))
+        samples = np.concatenate(outs)[: cfg.n]
 
     grid_path = f"{cfg.out_prefix}.png"
     save_sample_grid(samples[: min(cfg.n, 100)], chw, grid_path, value_range=vrange)

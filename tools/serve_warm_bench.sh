@@ -20,4 +20,18 @@ for BF in true false; do
     --ckpt "$FLAG_CKPT" --batch 1024 --serve_iters 50 --bf16 "$BF" >> "$OUT" 2>&1
   echo "--- rc=$? $(date -u +%FT%TZ)" >> "$OUT"
 done
+
+# AOT artifact story (utils/aot.py): build the shippable executable once
+# (warm cache should make this cheap), then a FRESH process serves from it
+# with zero XLA involvement — the true production cold start.
+AOT=runs/flagship_b1024_bf16.jaxexec
+echo "--- flagship bf16 --aot_save $(date -u +%FT%TZ)" >> "$OUT"
+timeout 1500 python -m ctgan_tpu.apps.generate --model cifar_resnet \
+  --ckpt "$FLAG_CKPT" --batch 1024 --bf16 true --aot_save "$AOT" >> "$OUT" 2>&1
+echo "--- rc=$? $(date -u +%FT%TZ)" >> "$OUT"
+echo "--- flagship bf16 --aot fresh-process zero-compile serve $(date -u +%FT%TZ)" >> "$OUT"
+timeout 600 python -m ctgan_tpu.apps.generate --model cifar_resnet \
+  --ckpt "$FLAG_CKPT" --batch 1024 --bf16 true --aot "$AOT" \
+  --serve_iters 50 >> "$OUT" 2>&1
+echo "--- rc=$? $(date -u +%FT%TZ)" >> "$OUT"
 echo "=== serve_warm_bench done $(date -u +%FT%TZ) ===" >> "$OUT"
