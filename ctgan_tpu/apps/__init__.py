@@ -17,21 +17,19 @@ onehot_autoencoder.py   onehot_toys --which ae
 =====================  ===========================================
 """
 
-from . import (
-    common,
-    generate,
-    ct_cifar_ssl,
-    ct_gan_64x64,
-    ct_gan_cifar,
-    ct_gan_cifar_resnet,
-    ct_gan_mnist,
-    ct_mnist_ssl,
-    onehot_toys,
-    wgan_lsun128,
-)
+import importlib
 
 __all__ = [
     "common", "generate", "ct_cifar_ssl", "ct_gan_64x64", "ct_gan_cifar",
     "ct_gan_cifar_resnet", "ct_gan_mnist", "ct_mnist_ssl", "onehot_toys",
     "wgan_lsun128",
 ]
+
+
+def __getattr__(name):  # PEP 562: lazy submodule imports
+    # Eager imports here made every `python -m ctgan_tpu.apps.<x>` pull in
+    # ALL app modules (and their model imports) before runpy executed the
+    # requested one — slower starts plus a runpy double-import warning.
+    if name in __all__:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
