@@ -35,6 +35,7 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "param_spec",
+    "effective_param_specs",
     "DEFAULT_RULES",
 ]
 
@@ -100,16 +101,15 @@ def param_spec(name: str, value, rules: Sequence[tuple[str, P]] = DEFAULT_RULES)
     return P()
 
 
-def shard_params(
+def effective_param_specs(
     mesh: Mesh,
     params: Mapping[str, jax.Array],
     rules: Sequence[tuple[str, P]] = DEFAULT_RULES,
-) -> dict[str, jax.Array]:
-    """Place params on the mesh per the rules (replicated by default).
+) -> dict[str, P]:
+    """Per-leaf PartitionSpec after divisibility checks.
 
     A rule only applies when the sharded dimension divides evenly; otherwise
-    the param stays replicated — so small models shard trivially.
-    """
+    the param stays replicated — so small models shard trivially."""
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     out = {}
     for k, v in params.items():
@@ -122,6 +122,18 @@ def shard_params(
             if dim >= v.ndim or v.shape[dim] % size != 0:
                 ok = False
                 break
-        sharding = NamedSharding(mesh, spec if ok else P())
-        out[k] = jax.device_put(v, sharding)
+        out[k] = spec if ok else P()
     return out
+
+
+def shard_params(
+    mesh: Mesh,
+    params: Mapping[str, jax.Array],
+    rules: Sequence[tuple[str, P]] = DEFAULT_RULES,
+) -> dict[str, jax.Array]:
+    """Place params on the mesh per the rules (replicated by default)."""
+    specs = effective_param_specs(mesh, params, rules)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in params.items()
+    }

@@ -97,12 +97,22 @@ def make_gan_trainer(
     gen_fn: Callable[..., jax.Array],
     disc_fn: Callable[..., tuple[jax.Array, jax.Array]],
     cfg: GanConfig,
+    spmd_hooks=None,
 ):
     """Build (init_state, step_fn, eval_fns) for an unconditional CT-GAN.
 
     ``gen_fn(n_samples)`` must produce flat fake images using the 'noise' RNG
     stream; ``disc_fn(x)`` must return ``(logits, features)`` drawing dropout
     from the 'dropout' stream.  Both read params from the ambient context.
+
+    ``spmd_hooks`` (parallel.spmd.SpmdHooks) switches the substeps to
+    manual-SPMD semantics for use INSIDE ``jax.shard_map``: params are
+    gathered before each loss, gradients cross-mesh-averaged (and re-sliced
+    for model-sharded leaves) before the optimizer update, metrics averaged
+    over the mesh.  With hooks set, ``state`` holds model-axis SHARDS and
+    ``cfg.batch_size`` must already be the per-device micro-batch; the
+    step/eval fns only make sense inside the owning shard_map (see
+    parallel/spmd.py, which is the only intended caller).
     """
     gen_optimizer, disc_optimizer = _make_optimizers(cfg)
     is_ct = cfg.mode in ("wgan-CT", "wgan-ct")
@@ -178,9 +188,17 @@ def make_gan_trainer(
         """G update (skipped at step 0, 'if iteration > 0'
         CT_gan_cifar.py:192).  Does NOT bump state.step."""
         key = jax.random.fold_in(base_key, state.step)
+        if spmd_hooks is None:
+            gp_full, dp_full = state.gen_params, state.disc_params
+        else:
+            gp_full = spmd_hooks.gather_gen(state.gen_params)
+            dp_full = spmd_hooks.gather_disc(state.disc_params)
         (g_cost, g_grads) = gen_grad(
-            state.gen_params, state.disc_params, jax.random.fold_in(key, 1000)
+            gp_full, dp_full, jax.random.fold_in(key, 1000)
         )
+        if spmd_hooks is not None:
+            g_grads = spmd_hooks.sync_gen_grads(g_grads)
+            g_cost = spmd_hooks.sync_metrics(g_cost)
         new_gen_params, new_gen_opt = gen_optimizer.update(
             g_grads, state.gen_opt, state.gen_params, state.step
         )
@@ -201,9 +219,19 @@ def make_gan_trainer(
     def critic_substep(state: GANState, i, real, base_key):
         """One critic iteration.  Does NOT bump state.step."""
         key = jax.random.fold_in(base_key, state.step)
+        if spmd_hooks is None:
+            dp_full, gp_full = state.disc_params, state.gen_params
+        else:
+            dp_full = spmd_hooks.gather_disc(state.disc_params)
+            gp_full = spmd_hooks.gather_gen(state.gen_params)
         (cost, metrics), grads = disc_grad(
-            state.disc_params, state.gen_params, real, jax.random.fold_in(key, i)
+            dp_full, gp_full, real, jax.random.fold_in(key, i)
         )
+        if spmd_hooks is not None:
+            # mesh-mean (and re-slice) BEFORE clipping, so clips see the
+            # same grad values the single-device program would
+            grads = spmd_hooks.sync_disc_grads(grads)
+            metrics = spmd_hooks.sync_metrics(metrics)
         if cfg.clip_grad_value is not None:
             grads = optim.clip_grads_by_value(grads, cfg.clip_grad_value)
         if cfg.clip_global_norm is not None:
@@ -241,6 +269,12 @@ def make_gan_trainer(
     step_fn.gen_substep = gen_substep
     step_fn.critic_substep = critic_substep
     step_fn.bump_step = bump_step
+    # loss/optimizer pieces for external composition (parallel/spmd.py's
+    # emulation tests, tooling)
+    step_fn.pieces = {
+        "gen_grad": gen_grad, "disc_grad": disc_grad,
+        "gen_optimizer": gen_optimizer, "disc_optimizer": disc_optimizer,
+    }
 
     # ------------------------------------------------------- eval utils
 
