@@ -109,24 +109,31 @@ def make_spmd_trainer(
     *,
     rules=DEFAULT_RULES,
     batch_axis: int = 1,
+    flavor: str = "gan",
 ):
     """Build the fused manual-SPMD trainer over ``mesh``.
 
     Returns ``(state0, spmd_step, state_specs)``:
 
-    * ``state0`` — GANState placed on the mesh: rule-matched param (and
-      moment) leaves stored as model-axis shards, the rest replicated.
-    * ``spmd_step(state, real_stack, base_key)`` — jitted shard_map step
-      with the trainer's exact fused semantics (1×G + critic_iters×D in
-      one program).  ``real_stack`` is the global ``[K, B, ...]`` stack;
-      its batch axis is sharded over every mesh axis.
+    * ``state0`` — trainer state placed on the mesh: rule-matched param
+      (and moment) leaves stored as model-axis shards, the rest replicated.
+    * ``spmd_step(state, real_stack[, label_stack], base_key)`` — jitted
+      shard_map step with the trainer's exact fused semantics (1×G +
+      critic_iters×D in one program).  ``real_stack`` is the global
+      ``[K, B, ...]`` stack; its batch axis is sharded over every mesh
+      axis.  ``flavor='acgan'`` adds the ``[K, B]`` label stack.
     * ``state_specs`` — the per-leaf PartitionSpec pytree (for
       checkpoint-restore placement).
 
     ``cfg.batch_size`` is the GLOBAL batch (as for the pjit path); it must
     divide by the mesh size.
     """
-    from ..train.trainer_gan import GANState, make_gan_trainer
+    if flavor == "gan":
+        from ..train.trainer_gan import make_gan_trainer as _mk
+    elif flavor == "acgan":
+        from ..train.trainer_acgan import make_acgan_trainer as _mk
+    else:
+        raise ValueError(f"unknown flavor {flavor!r}")
 
     ndev = int(mesh.devices.size)
     axes = tuple(mesh.axis_names)
@@ -135,7 +142,7 @@ def make_spmd_trainer(
     model_n = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
     if cfg.batch_size % ndev:
         raise ValueError(f"batch {cfg.batch_size} not divisible by {ndev} devices")
-    if cfg.clip_global_norm is not None:
+    if getattr(cfg, "clip_global_norm", None) is not None:
         raise NotImplementedError(
             "clip_global_norm under fused SPMD needs a model-axis-corrected "
             "norm; use the unfused path or drop the clip"
@@ -191,19 +198,19 @@ def make_spmd_trainer(
         sync_disc_grads=_sync(disc_specs),
         sync_metrics=_sync_metrics,
     )
-    init_state, step_fn, _, _ = make_gan_trainer(
-        gen_fn, disc_fn, local_cfg, spmd_hooks=hooks
-    )
+    made = _mk(gen_fn, disc_fn, local_cfg, spmd_hooks=hooks)
+    init_state, step_fn = made[0], made[1]
 
     state_full = init_state(gen_params, disc_params)
-    state_specs = GANState(
+    StateCls = type(state_full)
+    state_specs = StateCls(
         gen_params=dict(gen_specs),
         disc_params=dict(disc_specs),
         gen_opt=_opt_specs(state_full.gen_opt, gen_specs),
         disc_opt=_opt_specs(state_full.disc_opt, disc_specs),
         step=P(),
     )
-    state0 = GANState(
+    state0 = StateCls(
         gen_params=_tree_place(state_full.gen_params, state_specs.gen_params, mesh),
         disc_params=_tree_place(state_full.disc_params, state_specs.disc_params, mesh),
         gen_opt=_tree_place(state_full.gen_opt, state_specs.gen_opt, mesh),
@@ -211,18 +218,33 @@ def make_spmd_trainer(
         step=jax.device_put(state_full.step, NamedSharding(mesh, P())),
     )
 
-    def local_step(state, real_stack, base_key):
-        flat = lax.axis_index("data") * model_n + lax.axis_index("model")
-        return step_fn(state, real_stack, jax.random.fold_in(base_key, flat))
-
     batch_spec = P(*[
         ("data", "model") if d == batch_axis else None for d in range(3)
     ])
+    label_spec = P(*[
+        ("data", "model") if d == batch_axis else None for d in range(2)
+    ])
+
+    if flavor == "acgan":
+        def local_step(state, real_stack, label_stack, base_key):
+            flat = lax.axis_index("data") * model_n + lax.axis_index("model")
+            return step_fn(
+                state, real_stack, label_stack, jax.random.fold_in(base_key, flat)
+            )
+
+        in_specs = (state_specs, batch_spec, label_spec, P())
+    else:
+        def local_step(state, real_stack, base_key):
+            flat = lax.axis_index("data") * model_n + lax.axis_index("model")
+            return step_fn(state, real_stack, jax.random.fold_in(base_key, flat))
+
+        in_specs = (state_specs, batch_spec, P())
+
     spmd_step = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(state_specs, batch_spec, P()),
+            in_specs=in_specs,
             out_specs=(state_specs, P()),
         ),
         donate_argnums=0,

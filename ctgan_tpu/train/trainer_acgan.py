@@ -89,7 +89,10 @@ def make_acgan_trainer(
     gen_fn: Callable,   # gen_fn(n, labels, noise=None) -> flat images
     disc_fn: Callable,  # disc_fn(x, labels, kp1, kp2, kp3) -> DiscOut
     cfg: AcganConfig,
+    spmd_hooks=None,
 ):
+    # spmd_hooks: manual-SPMD collective hooks for use inside shard_map —
+    # see trainer_gan.make_gan_trainer and parallel/spmd.py (only caller).
     lr = schedules.linear_decay(cfg.lr, cfg.iters) if cfg.decay else cfg.lr
     gen_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
     disc_optimizer = optim.adam(lr, cfg.beta1, cfg.beta2)
@@ -188,9 +191,17 @@ def make_acgan_trainer(
         """G update (skipped at step 0, reference 'if iteration > 0').
         Does NOT bump state.step."""
         key = jax.random.fold_in(base_key, state.step)
+        if spmd_hooks is None:
+            gp_full, dp_full = state.gen_params, state.disc_params
+        else:
+            gp_full = spmd_hooks.gather_gen(state.gen_params)
+            dp_full = spmd_hooks.gather_disc(state.disc_params)
         g_cost, g_grads = gen_grad(
-            state.gen_params, state.disc_params, jax.random.fold_in(key, 1000)
+            gp_full, dp_full, jax.random.fold_in(key, 1000)
         )
+        if spmd_hooks is not None:
+            g_grads = spmd_hooks.sync_gen_grads(g_grads)
+            g_cost = spmd_hooks.sync_metrics(g_cost)
         new_gen_params, new_gen_opt = gen_optimizer.update(
             g_grads, state.gen_opt, state.gen_params, state.step
         )
@@ -215,10 +226,18 @@ def make_acgan_trainer(
         dq_key = jax.random.fold_in(key, 5000 + i)
         real = 2.0 * (real_int.astype(jnp.float32) / 256.0 - 0.5)
         real = real + jax.random.uniform(dq_key, real.shape, maxval=1.0 / 128)
+        if spmd_hooks is None:
+            dp_full, gp_full = state.disc_params, state.gen_params
+        else:
+            dp_full = spmd_hooks.gather_disc(state.disc_params)
+            gp_full = spmd_hooks.gather_gen(state.gen_params)
         (cost, metrics), grads = disc_grad(
-            state.disc_params, state.gen_params, real, labels,
+            dp_full, gp_full, real, labels,
             jax.random.fold_in(key, i),
         )
+        if spmd_hooks is not None:
+            grads = spmd_hooks.sync_disc_grads(grads)
+            metrics = spmd_hooks.sync_metrics(metrics)
         disc_params, disc_opt = disc_optimizer.update(
             grads, state.disc_opt, state.disc_params, state.step
         )
@@ -248,6 +267,10 @@ def make_acgan_trainer(
     step_fn.gen_substep = gen_substep
     step_fn.critic_substep = critic_substep
     step_fn.bump_step = bump_step
+    step_fn.pieces = {
+        "gen_grad": gen_grad, "disc_grad": disc_grad,
+        "gen_optimizer": gen_optimizer, "disc_optimizer": disc_optimizer,
+    }
 
     def dev_cost_fn(state: AcganState, real_int, labels, key):
         """Discriminator cost on a dev batch (the reference's dev_cost

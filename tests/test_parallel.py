@@ -432,3 +432,42 @@ def test_spmd_fused_matches_emulation():
         assert np.isclose(
             float(metrics[mk]), float(out_metrics[mk]), rtol=1e-3, atol=1e-3
         ), (mk, float(metrics[mk]), float(out_metrics[mk]))
+
+
+def test_spmd_fused_acgan_flagship_runs():
+    """Fused shard_map step for the ACGAN flavor on the flagship resnet
+    model (tiny dims): two chained steps, finite metrics, model-sharded
+    storage.  This is the configuration the GSPMD partitioner miscompiles
+    when expressed as pjit (docs/XLA_GSPMD_SCAN_BUG.md)."""
+    from ctgan_tpu.models import resnet_cifar
+    from ctgan_tpu.parallel import make_spmd_trainer
+    from ctgan_tpu.train.trainer_acgan import AcganConfig, make_acgan_trainer
+
+    cfg_model = resnet_cifar.ResnetCifarConfig(dim_g=8, dim_d=8)
+    cfg = AcganConfig(batch_size=16, critic_iters=2, iters=10, gen_bs_multiple=2)
+
+    def gen_fn(n, labels, noise=None):
+        return resnet_cifar.generator(n, labels, noise=noise, cfg=cfg_model)
+
+    def disc_fn(x, labels, kp1, kp2, kp3):
+        return resnet_cifar.discriminator(x, labels, kp1, kp2, kp3, cfg_model)
+
+    with init_context(seed=0) as ctx:
+        with rng_context(jax.random.PRNGKey(0)):
+            disc_fn(gen_fn(4, jnp.zeros((4,), jnp.int32)), jnp.zeros((4,), jnp.int32), 1.0, 1.0, 1.0)
+    gp, dp, _ = split_params(ctx.params, "Generator", "Discriminator")
+
+    mesh = make_mesh(data=4, model=2)
+    state, spmd_step, specs = make_spmd_trainer(
+        gen_fn, disc_fn, cfg, mesh, gp, dp, flavor="acgan"
+    )
+    assert any("model" in str(s) for s in specs.gen_params.values())
+
+    rng = np.random.default_rng(0)
+    reals = jnp.asarray(rng.integers(0, 256, size=(2, 16, 3072)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 10, size=(2, 16)), jnp.int32)
+    for i in range(2):
+        state, metrics = spmd_step(state, reals, labels, jax.random.PRNGKey(i))
+    for m in ("disc_cost", "ct", "gp", "wgan", "acgan", "gen_cost"):
+        assert np.isfinite(float(metrics[m])), m
+    assert int(state.step) == 2
