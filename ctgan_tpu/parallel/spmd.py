@@ -24,9 +24,10 @@ Design (sharded storage + gathered compute, ZeRO-style):
 * Gradient sync exploits shard_map's AD: differentiating a value that is
   *invarying* over a mesh axis auto-inserts the psum over that axis in the
   transpose, so gathered (model-invarying-over-data) weights arrive with
-  the data-axis sum already taken.  ``_mesh_mean`` psums over whichever
+  the data-axis sum already taken.  ``_grad_mean`` psums over whichever
   axes the cotangent is still varying on and divides once by the total
-  device count.  (A blanket ``pvary`` + ``pmean`` double-counts — see
+  device count (vary + AD-presummed covers the whole mesh for grads);
+  ``_metric_mean`` averages forward values over only their varying axes.  (A blanket ``pvary`` + ``pmean`` double-counts — see
   tests/test_parallel.py::test_spmd_fused_matches_emulation.)
 * RNG: the base key is folded with the device's linear mesh index, so
   each micro-batch draws independent noise / dropout / GP-epsilon — the
@@ -70,8 +71,15 @@ class SpmdHooks(NamedTuple):
 
 def _model_dim(spec: P) -> int | None:
     for dim, axis in enumerate(spec):
-        if axis == "model" or (isinstance(axis, tuple) and "model" in axis):
+        if axis == "model":
             return dim
+        if isinstance(axis, tuple) and "model" in axis:
+            # gather/slice below handle exactly one plain 'model' entry; a
+            # composite axis would be silently partially gathered
+            raise NotImplementedError(
+                f"composite spec {spec} mixes 'model' with other axes; "
+                "spmd storage rules support plain 'model' entries only"
+            )
     return None
 
 
@@ -164,17 +172,35 @@ def make_spmd_trainer(
             return out
         return f
 
-    def _mesh_mean(v):
-        # psum only over axes the value still varies on: shard_map's AD has
-        # already summed grads over any axis their primal was invarying on.
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def _grad_mean(v):
+        # psum only over axes the cotangent still varies on: shard_map's AD
+        # has already summed grads over every axis their primal was
+        # invarying on (replicated leaf -> presummed over both axes;
+        # gathered leaf -> presummed over 'data').  vary + presummed always
+        # covers the whole mesh for grads, so /ndev is the global mean.
         vary = tuple(a for a in axes if a in jax.typeof(v).vma)
         return (lax.psum(v, vary) if vary else v) / float(ndev)
+
+    def _metric_mean(v):
+        # forward values get no AD presum: the mesh mean averages only over
+        # the axes the value actually varies on (an axis it is invarying on
+        # contributes identical copies — dividing by its size too would
+        # mis-scale, e.g. halve a model-invarying monitor on model=2)
+        vary = tuple(a for a in axes if a in jax.typeof(v).vma)
+        if not vary:
+            return v
+        denom = 1
+        for a in vary:
+            denom *= sizes[a]
+        return lax.psum(v, vary) / float(denom)
 
     def _sync(specs):
         def f(grads):
             out = {}
             for k, g in grads.items():
-                g = _mesh_mean(g)
+                g = _grad_mean(g)
                 dim = _model_dim(specs[k])
                 if dim is not None:
                     shard = g.shape[dim] // model_n
@@ -189,7 +215,7 @@ def make_spmd_trainer(
     def _sync_metrics(m):
         # metrics are naturally mesh-varying scalars; psum over the still-
         # varying axes + /ndev is the global-batch mean
-        return jax.tree.map(_mesh_mean, m)
+        return jax.tree.map(_metric_mean, m)
 
     hooks = SpmdHooks(
         gather_gen=_gather(gen_specs),

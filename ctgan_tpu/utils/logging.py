@@ -124,8 +124,15 @@ class MetricLogger:
         if self.out_dir:
             with open(os.path.join(self.out_dir, "log.ndjson"), "a") as f:
                 f.write(json.dumps(record) + "\n")
-            with open(os.path.join(self.out_dir, "log.pkl"), "wb") as f:
+            # atomic replace: log.pkl is the resume scheme's source of truth
+            # (utils/resume.py::logged_progress) AND is snapshotted by the
+            # durability committer mid-run — a truncate-then-write here could
+            # be banked half-written and read back as "no progress"
+            pkl_path = os.path.join(self.out_dir, "log.pkl")
+            tmp_path = pkl_path + ".tmp"
+            with open(tmp_path, "wb") as f:
                 pickle.dump(dict(self._history), f)
+            os.replace(tmp_path, pkl_path)
             if self.save_curves:
                 self._save_curves()
         return record

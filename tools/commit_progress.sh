@@ -40,16 +40,31 @@ if git diff --quiet HEAD -- "${paths[@]}" 2>/dev/null \
   exit 0  # nothing changed
 fi
 
+# Refuse to bank a torn log.pkl: the live writer may still rewrite it
+# non-atomically (pre-fix processes), and a banked half-pickle would read
+# back as "no progress" after a wipe — the exact loss this tool prevents.
+# "?" (unreadable) => retry next sweep with logs-only would still be torn,
+# so skip the whole sweep and let the next one pick up a whole file.
 epoch=$(python - <<'EOF' 2>/dev/null
 import pickle
 try:
     log = pickle.load(open("runs/ssl_te_r5/log.pkl", "rb"))
     print(max(max(s) for s in log.values() if s))
+except FileNotFoundError:
+    print("-")
 except Exception:
     print("?")
 EOF
 )
-git add -- "${paths[@]}" 2>/dev/null
-git commit -q -m "progress: TE epoch ${epoch} + depth-run artifacts (durability sweep)" \
-  -- "${paths[@]}" 2>/dev/null
-echo "commit_progress: banked TE epoch ${epoch} ($(date -u +%FT%TZ), with_params=$WITH_PARAMS)"
+if [ "$epoch" = "?" ]; then
+  echo "commit_progress: SKIPPED — runs/ssl_te_r5/log.pkl unreadable (torn write?) $(date -u +%FT%TZ)"
+  exit 0
+fi
+git add -- "${paths[@]}" || { echo "commit_progress: FAILED git add rc=$? $(date -u +%FT%TZ)"; exit 1; }
+if git commit -q -m "progress: TE epoch ${epoch} + depth-run artifacts (durability sweep)" \
+     -- "${paths[@]}"; then
+  echo "commit_progress: banked TE epoch ${epoch} ($(date -u +%FT%TZ), with_params=$WITH_PARAMS)"
+else
+  echo "commit_progress: FAILED git commit rc=$? (index lock held?) $(date -u +%FT%TZ)"
+  exit 1
+fi
